@@ -1,0 +1,94 @@
+"""Benchmark: ResNet-50 ImageNet-style training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured images/sec divided by the north-star target of
+90% of the bf16 roofline for ResNet-50 training on this chip
+(BASELINE.json: ">=90% of TPU roofline images/sec/chip").
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 128
+IMAGE = 224
+STEPS = 20
+
+# ResNet-50 @224: ~4.134 GMACs fwd (reference results.md MACs tables) ->
+# ~8.27 GFLOPs fwd, ~3x for fwd+bwd.
+TRAIN_FLOPS_PER_IMAGE = 3 * 2 * 4.134e9
+
+
+def chip_peak_flops():
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v4" in kind:
+        return 275e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    return 197e12
+
+
+def main():
+    from simpleaicv_tpu.core.engine import (EngineConfig, create_train_state,
+                                            make_train_step)
+    from simpleaicv_tpu.core.optim import OptimizerConfig, build_optimizer
+    from simpleaicv_tpu.core.registry import BACKBONES
+    from simpleaicv_tpu.core.schedule import SchedulerConfig
+    from simpleaicv_tpu.losses import CELoss
+    from simpleaicv_tpu.tasks.classification import make_loss_fn
+
+    model = BACKBONES.create("resnet50", num_classes=1000)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((BATCH, IMAGE, IMAGE, 3), jnp.bfloat16)
+    variables = model.init({"params": rng}, x0, True)
+    params = variables["params"]
+    state_vars = {k: v for k, v in variables.items() if k != "params"}
+
+    opt_cfg = OptimizerConfig(name="SGD", lr=0.1, momentum=0.9,
+                              weight_decay=1e-4)
+    sched_cfg = SchedulerConfig(scheduler="CosineLR", lr=0.1, epochs=100)
+    tx, _ = build_optimizer(opt_cfg, sched_cfg, 1000, params)
+    eng_cfg = EngineConfig(skip_non_finite=False)  # pure-compute hot loop
+    state = create_train_state(params, state_vars, tx, eng_cfg)
+    step = make_train_step(make_loss_fn(model, CELoss()), tx, eng_cfg)
+
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randn(BATCH, IMAGE, IMAGE, 3),
+            jnp.bfloat16),
+        "label": jnp.asarray(
+            np.random.RandomState(1).randint(0, 1000, size=(BATCH,)),
+            jnp.int32),
+    }
+
+    # warmup / compile. NOTE: we force completion with a host fetch of the
+    # loss (not block_until_ready) — on relayed/experimental platforms
+    # block_until_ready can return before compute finishes, which would
+    # wildly overstate throughput.
+    state, m = step(state, batch, rng)
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, m = step(state, batch, jax.random.fold_in(rng, i))
+    final_loss = float(m["loss"])  # forces the whole dependent chain
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * STEPS / dt
+    target = 0.9 * chip_peak_flops() / TRAIN_FLOPS_PER_IMAGE
+    print(json.dumps({
+        "metric": "resnet50_imagenet_train_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/s",
+        "vs_baseline": round(imgs_per_sec / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

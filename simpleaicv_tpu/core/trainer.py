@@ -1,0 +1,245 @@
+"""Generic training driver: the ONE runtime that replaces the reference's 26
+``tools/train_*.py`` scripts (canonical skeleton:
+tools/train_classification_model.py:33-277). Task adapters provide
+loss/eval functions; everything else (mesh, data, optimizer, schedule, EMA,
+accumulation, NaN-skip, checkpoint/resume, logging) lives here.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.mesh import (MeshConfig, batch_sharding, infer_param_sharding,
+                             make_mesh, replicated)
+from .checkpoint import CheckpointManager, load_state_dict_partial
+from .engine import EngineConfig, TrainState, create_train_state, make_eval_step, make_train_step
+from .logging_utils import get_logger
+from .meters import AverageMeter
+from .optim import OptimizerConfig, build_optimizer, current_lr
+from .schedule import SchedulerConfig
+
+
+def optimizer_config_from_reference(opt_tuple) -> OptimizerConfig:
+    """Accepts the reference's ('SGD'|'AdamW', {param dict}) format
+    (e.g. 0.classification_training/cifar100/resnet18cifar/train_config.py:66-80)."""
+    name, p = opt_tuple
+    kwargs = dict(
+        name=name,
+        lr=p["lr"],
+        weight_decay=p.get("weight_decay", 0.0),
+        global_weight_decay=p.get("global_weight_decay", False),
+        no_weight_decay_layer_name_list=tuple(
+            p.get("no_weight_decay_layer_name_list", ())),
+        sub_layer_lr=p.get("sub_layer_lr"),
+        sub_layer_weight_decay=p.get("sub_layer_weight_decay"),
+        momentum=p.get("momentum", 0.9),
+        nesterov=p.get("nesterov", False),
+        beta1=p.get("beta1", 0.9),
+        beta2=p.get("beta2", 0.999),
+        eps=p.get("eps", 1e-8),
+        lr_layer_decay=p.get("lr_layer_decay"),
+        lr_layer_decay_block_nums=p.get("lr_layer_decay_block_nums"),
+        block_name=p.get("block_name"),
+        clip_grad_value=p.get("clip_grad_value"),
+        clip_max_norm=p.get("clip_max_norm"),
+    )
+    return OptimizerConfig(**kwargs)
+
+
+def scheduler_config_from_reference(sched_tuple, opt_tuple,
+                                    epochs: int) -> SchedulerConfig:
+    name, p = sched_tuple
+    return SchedulerConfig(
+        scheduler=name,
+        lr=opt_tuple[1]["lr"],
+        epochs=epochs,
+        warm_up_epochs=p.get("warm_up_epochs", 0),
+        milestones=tuple(p.get("milestones", ())),
+        gamma=p.get("gamma", 0.1),
+        power=p.get("power", 0.9),
+        min_lr=p.get("min_lr", 0.0),
+    )
+
+
+class Trainer:
+
+    def __init__(self, config, work_dir: str,
+                 make_loss_fn: Callable,
+                 make_eval_fn: Optional[Callable] = None,
+                 evaluate: Optional[Callable] = None,
+                 init_batch: Optional[dict] = None):
+        self.config = config
+        self.work_dir = os.path.abspath(work_dir)
+        self.logger = get_logger("train",
+                                 os.path.join(self.work_dir, "log"))
+
+        # ---- mesh ----
+        mesh_cfg = MeshConfig(
+            data=getattr(config, "mesh_data", -1),
+            fsdp=getattr(config, "mesh_fsdp", 1))
+        self.mesh = make_mesh(mesh_cfg)
+        self.batch_sharding = batch_sharding(self.mesh)
+
+        # ---- model + init ----
+        self.model = config.model
+        seed = getattr(config, "seed", 0)
+        np.random.seed(seed)
+        rng = jax.random.PRNGKey(seed)
+        self.rng, init_rng = jax.random.split(rng)
+
+        if init_batch is None:
+            s = config.input_image_size
+            init_batch = {"image": jnp.zeros((2, s, s, 3), jnp.float32)}
+        variables = self.model.init({"params": init_rng, "dropout": init_rng},
+                                    init_batch["image"], True)
+        params = variables["params"]
+        state_vars = {k: v for k, v in variables.items() if k != "params"}
+
+        # optional pretrained partial load (reference load_state_dict)
+        trained_path = getattr(config, "trained_model_path", "")
+        if trained_path:
+            import orbax.checkpoint as ocp
+            saved = ocp.StandardCheckpointer().restore(trained_path)
+            if "params" in saved:
+                saved = saved["params"]
+            params, n = load_state_dict_partial(saved, params)
+            self.log(f"partially loaded {n} tensors from {trained_path}")
+
+        self.param_sharding = infer_param_sharding(self.mesh, params)
+        params = jax.device_put(params, self.param_sharding)
+        state_vars = jax.device_put(state_vars, replicated(self.mesh))
+
+        # ---- data ----
+        from ..data.loader import DataLoader
+        bs = config.batch_size
+        workers = getattr(config, "num_workers", 4)
+        self.train_loader = DataLoader(config.train_dataset, bs,
+                                       config.train_collater, shuffle=True,
+                                       drop_last=True, num_workers=workers,
+                                       seed=seed)
+        self.test_loader = None
+        if getattr(config, "test_dataset", None) is not None:
+            self.test_loader = DataLoader(config.test_dataset, bs,
+                                          config.test_collater, shuffle=False,
+                                          drop_last=False,
+                                          num_workers=workers, seed=seed)
+
+        steps_per_epoch = max(len(self.train_loader), 1)
+        self.steps_per_epoch = steps_per_epoch
+
+        # ---- optimizer + schedule ----
+        self.opt_cfg = optimizer_config_from_reference(config.optimizer)
+        self.sched_cfg = scheduler_config_from_reference(
+            config.scheduler, config.optimizer, config.epochs)
+        self.tx, group_table = build_optimizer(self.opt_cfg, self.sched_cfg,
+                                               steps_per_epoch, params)
+
+        # ---- engine ----
+        self.engine_cfg = EngineConfig(
+            accumulation_steps=getattr(config, "accumulation_steps", 1),
+            use_ema=getattr(config, "use_ema_model", False),
+            ema_decay=getattr(config, "ema_model_decay", 0.9999),
+        )
+        self.state = create_train_state(params, state_vars, self.tx,
+                                        self.engine_cfg)
+
+        loss_fn = make_loss_fn(self.model, config.train_criterion)
+        self.train_step = make_train_step(loss_fn, self.tx, self.engine_cfg)
+        self.eval_step = None
+        self.evaluate = evaluate
+        if make_eval_fn is not None:
+            self.eval_step = make_eval_step(make_eval_fn(self.model))
+
+        # ---- checkpointing / resume ----
+        self.ckpt = CheckpointManager(os.path.join(self.work_dir,
+                                                   "checkpoints"))
+        self.start_epoch = 1
+        self.best_metric = -float("inf")
+        restored = None
+        try:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                               sharding=x.sharding)
+                if hasattr(x, "sharding") else x, self.state)
+            restored = self.ckpt.restore_latest(
+                abstract, {"best_metric": -float("inf"), "time": 0.0})
+        except Exception as e:  # no checkpoint yet
+            restored = None
+        if restored is not None:
+            epoch, self.state, extra = restored
+            self.start_epoch = epoch + 1
+            self.best_metric = float(extra.get("best_metric", -float("inf")))
+            self.log(f"resumed from epoch {epoch}")
+
+        self.print_interval = getattr(config, "print_interval", 50)
+
+    def log(self, msg: str):
+        if jax.process_index() == 0:
+            self.logger.info(msg)
+
+    def shard(self, batch):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                self.batch_sharding, np.asarray(x)), batch)
+
+    def train_epoch(self, epoch: int) -> float:
+        self.train_loader.set_epoch(epoch)
+        loss_meter = AverageMeter()
+        t0 = time.time()
+        n_images = 0
+        for i, batch in enumerate(self.train_loader, start=1):
+            gbatch = self.shard(batch)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, metrics = self.train_step(self.state, gbatch, step_rng)
+            n_images += self.config.batch_size
+            if i % self.print_interval == 0 or i == self.steps_per_epoch:
+                loss = float(metrics["loss"])
+                loss_meter.update(loss)
+                lr = current_lr(self.opt_cfg, self.sched_cfg,
+                                self.steps_per_epoch, int(self.state.step))
+                ips = n_images / max(time.time() - t0, 1e-6)
+                self.log(
+                    f"epoch {epoch} iter {i}/{self.steps_per_epoch} "
+                    f"loss {loss:.4f} lr {lr:.6f} imgs/s {ips:.1f}"
+                    + (" [SKIPPED]" if float(metrics["skipped"]) else ""))
+        return loss_meter.avg
+
+    def eval_params(self):
+        if self.engine_cfg.use_ema and self.state.ema_params is not None:
+            return self.state.ema_params
+        return self.state.params
+
+    def run(self):
+        cfg = self.config
+        self.log(f"devices: {jax.device_count()} mesh: {self.mesh.shape}")
+        for epoch in range(self.start_epoch, cfg.epochs + 1):
+            loss = self.train_epoch(epoch)
+            key_metric = None
+            if self.evaluate is not None and self.eval_step is not None \
+                    and self.test_loader is not None:
+                metrics = self.evaluate(self.eval_step, self.eval_params(),
+                                        self.state.state_vars,
+                                        self.test_loader, self.shard)
+                key_metric = metrics.pop("key_metric", None)
+                self.log(f"epoch {epoch} eval: {metrics}")
+            if key_metric is None:
+                key_metric = -loss  # loss-only tasks: lower loss = better
+            if key_metric > self.best_metric:
+                self.best_metric = key_metric
+                if jax.process_index() == 0:
+                    self.ckpt.save_best(self.eval_params(), key_metric)
+            self.ckpt.save_latest(epoch, self.state,
+                                  {"best_metric": self.best_metric,
+                                   "time": time.time()})
+            self.log(f"epoch {epoch} done; loss {loss:.4f} "
+                     f"best {self.best_metric:.4f}")
+        network = getattr(cfg, "network", "model")
+        if jax.process_index() == 0:
+            self.ckpt.finalize_best(network, self.best_metric)
+        return self.best_metric

@@ -1,0 +1,51 @@
+"""ImageNet-1K folder dataset (parity: reference
+simpleAICV/classification/datasets/ilsvrc2012dataset.py:8 — class ids from
+sorted sub-folder names, cv2 BGR->RGB decode)."""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import cv2
+import numpy as np
+
+
+class ILSVRC2012Dataset:
+
+    def __init__(self, root_dir: str, set_name: str = "train",
+                 transform: Optional[Callable] = None):
+        self.root_dir = root_dir
+        self.set_name = set_name
+        self.transform = transform
+        self._items = None
+        self._class_to_idx = None
+
+    def _scan(self):
+        if self._items is not None:
+            return
+        split_dir = os.path.join(self.root_dir, self.set_name)
+        classes = sorted(
+            d for d in os.listdir(split_dir)
+            if os.path.isdir(os.path.join(split_dir, d)))
+        self._class_to_idx = {c: i for i, c in enumerate(classes)}
+        items = []
+        for c in classes:
+            cdir = os.path.join(split_dir, c)
+            for fname in sorted(os.listdir(cdir)):
+                items.append((os.path.join(cdir, fname), self._class_to_idx[c]))
+        self._items = items
+
+    def __len__(self):
+        self._scan()
+        return len(self._items)
+
+    def __getitem__(self, idx):
+        self._scan()
+        path, label = self._items[idx]
+        image = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        sample = {"image": image.astype(np.float32), "label": int(label)}
+        if self.transform is not None:
+            sample = self.transform(sample)
+        return sample

@@ -1,0 +1,101 @@
+"""Host input pipeline.
+
+Replaces torch DataLoader + DistributedSampler + worker processes (reference
+tools/train_classification_model.py:74-94). Multi-host sharding comes from
+`jax.process_index()`; within a host we use a background thread pool (cv2 and
+numpy release the GIL) and a prefetch queue so augmentation overlaps device
+steps. Batches are host-global; the engine lays them onto the mesh.
+
+Seeding parity: `set_epoch`-style determinism via per-epoch reshuffle keyed on
+(seed, epoch) (reference DistributedSampler.set_epoch, scripts loop :191).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+
+import jax
+
+
+class DataLoader:
+
+    def __init__(self, dataset, batch_size: int, collater: Callable,
+                 shuffle: bool = True, drop_last: bool = True,
+                 num_workers: int = 4, seed: int = 0, prefetch: int = 4):
+        self.dataset = dataset
+        self.global_batch_size = batch_size
+        self.collater = collater
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+        n_proc = jax.process_count()
+        assert batch_size % n_proc == 0, (batch_size, n_proc)
+        self.local_batch_size = batch_size // n_proc
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset) // jax.process_count()
+        if self.drop_last:
+            return n // self.local_batch_size
+        return (n + self.local_batch_size - 1) // self.local_batch_size
+
+    def _local_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        # contiguous per-process shard (same semantics as DistributedSampler:
+        # every process sees disjoint data, together covering the epoch)
+        pid, np_ = jax.process_index(), jax.process_count()
+        per = n // np_
+        return order[pid * per:(pid + 1) * per]
+
+    def __iter__(self) -> Iterator:
+        indices = self._local_indices()
+        bs = self.local_batch_size
+        n_batches = len(self)
+
+        def load_batch(batch_idx):
+            idxs = indices[batch_idx * bs:(batch_idx + 1) * bs]
+            if len(idxs) < bs and self.drop_last:
+                return None
+            return self.collater([self.dataset[int(i)] for i in idxs])
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                futures = [pool.submit(load_batch, b) for b in range(n_batches)]
+                for f in futures:
+                    if stop.is_set():
+                        for g in futures:
+                            g.cancel()
+                        break
+                    q.put(f.result())
+            q.put(StopIteration)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is StopIteration:
+                    break
+                if item is not None:
+                    yield item
+        finally:
+            stop.set()

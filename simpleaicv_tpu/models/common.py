@@ -1,0 +1,100 @@
+"""Shared model building blocks (flax.linen, NHWC, bf16-compute / f32-params).
+
+TPU-first conventions used across the whole model zoo:
+  * NHWC layout (XLA TPU's native conv layout — avoids transposes);
+  * ``dtype`` = compute dtype (default bfloat16: feeds the MXU at full rate),
+    ``param_dtype`` = float32 master weights;
+  * BatchNorm stats always f32; under the SPMD engine, batch stats are computed
+    over the *global* sharded batch, so cross-replica SyncBN (reference
+    tools/utils.py:168-169) is the default behaviour, for free;
+  * gradient checkpointing via ``nn.remat`` mirrors the reference's
+    ``use_gradient_checkpoint`` flag (reference
+    simpleAICV/classification/backbones/resnet.py:230-235).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class ConvBnAct(nn.Module):
+    """conv -> (bn) -> (act); parity with the reference's ConvBnActBlock
+    (simpleAICV/classification/backbones/resnet.py:19-47)."""
+    planes: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Any = None  # None -> SAME-style explicit pad of (k-1)//2
+    groups: int = 1
+    has_bn: bool = True
+    has_act: bool = True
+    act: Callable = nn.relu
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.padding if self.padding is not None else (self.kernel_size - 1) // 2
+        x = nn.Conv(self.planes, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    feature_group_count=self.groups,
+                    use_bias=not self.has_bn,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="conv")(x)
+        if self.has_bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32,
+                             param_dtype=jnp.float32, name="bn")(x)
+            x = x.astype(self.dtype)
+        if self.has_act:
+            x = self.act(x)
+        return x
+
+
+def global_avg_pool(x):
+    """NHWC global average pool -> [N, C]."""
+    return jnp.mean(x.astype(jnp.float32), axis=(1, 2))
+
+
+def max_pool_same(x, window: int, stride: int):
+    pad = (window - 1) // 2
+    return nn.max_pool(x, (window, window), strides=(stride, stride),
+                       padding=[(pad, pad), (pad, pad)])
+
+
+class DropPath(nn.Module):
+    """Stochastic depth (parity: reference DropPathBlock, vit.py:110-143)."""
+    drop_path_prob: float = 0.0
+    scale_by_keep: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.drop_path_prob == 0.0 or not train:
+            return x
+        keep = 1.0 - self.drop_path_prob
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        if self.scale_by_keep:
+            mask = mask / keep
+        return x * mask
+
+
+def maybe_remat(module_cls, use_gradient_checkpoint: bool, static_argnums=(2,)):
+    """Return module_cls or its rematerialised version (jax.checkpoint).
+
+    ``static_argnums`` defaults to the conventional ``(x, train)`` call
+    signature where ``train`` (argnum 2, counting self) is static.
+    """
+    if use_gradient_checkpoint:
+        return nn.remat(module_cls, static_argnums=static_argnums)
+    return module_cls
+
+
+def truncated_normal_init(stddev: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=stddev)

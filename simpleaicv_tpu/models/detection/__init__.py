@@ -1,0 +1,3 @@
+from .anchor import RetinaAnchors, FCOSPositions  # noqa: F401
+from .retinanet import *  # noqa: F401,F403
+from .fcos import *  # noqa: F401,F403
