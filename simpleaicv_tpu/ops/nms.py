@@ -85,7 +85,13 @@ def batched_nms(boxes, scores, max_output: int = 100,
     def one_image(b, s):
         keep = nms_keep_mask(b, s, iou_threshold, nms_type)
         masked_scores = jnp.where(keep, s, -jnp.inf)
-        top_scores, top_idx = jax.lax.top_k(masked_scores, max_output)
+        k = min(max_output, masked_scores.shape[0])
+        top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+        if k < max_output:
+            pad = max_output - k
+            top_scores = jnp.pad(top_scores, (0, pad),
+                                 constant_values=-jnp.inf)
+            top_idx = jnp.pad(top_idx, (0, pad), constant_values=0)
         valid = top_scores > -jnp.inf
         return (jnp.where(valid, top_scores, -1.0),
                 jnp.where(valid, top_idx, -1), valid)

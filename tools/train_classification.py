@@ -13,6 +13,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from simpleaicv_tpu.core.platform import apply_platform_env
+apply_platform_env()
+
 from simpleaicv_tpu.core.config import load_config
 from simpleaicv_tpu.core.trainer import Trainer
 from simpleaicv_tpu.tasks import classification
