@@ -96,8 +96,7 @@ class Trainer:
         if init_batch is None:
             s = config.input_image_size
             init_batch = {"image": jnp.zeros((2, s, s, 3), jnp.float32)}
-        variables = self.model.init({"params": init_rng, "dropout": init_rng},
-                                    init_batch["image"], True)
+        variables = self._init_variables(self.model, init_rng, init_batch)
         params = variables["params"]
         state_vars = {k: v for k, v in variables.items() if k != "params"}
 
@@ -178,6 +177,11 @@ class Trainer:
             self.log(f"resumed from epoch {epoch}")
 
         self.print_interval = getattr(config, "print_interval", 50)
+
+    def _init_variables(self, model, rng, init_batch):
+        """Overridable model initialisation (SAM etc. need extra call args)."""
+        return model.init({"params": rng, "dropout": rng},
+                          init_batch["image"], True)
 
     def log(self, msg: str):
         if jax.process_index() == 0:

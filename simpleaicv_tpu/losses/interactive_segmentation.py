@@ -1,0 +1,98 @@
+"""SAM losses (parity: reference
+simpleAICV/interactive_segmentation/losses.py:12-244 — SAMMultiLevelLoss
+(focal+dice+iou-pred-MSE averaged over mask levels), SAMMultiLevelIoUMaxLoss
+(only the best-IoU level contributes), SAMMultiLevelAssignLoss) and the
+distillation losses (distill_losses.py — encoder-feature MSE / full-SAM
+distill)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.registry import LOSSES
+
+__all__ = ["SAMMultiLevelLoss", "SAMMultiLevelIoUMaxLoss", "SAMDistillMSELoss"]
+
+
+def _per_level_losses(pred_masks, pred_ious, targets, alpha, gamma, smooth,
+                      mask_threshold):
+    """pred_masks [B,K,H,W] logits; targets [B,H,W] or [B,1,H,W] binary.
+    Returns per-level (focal [K], dice [K], iou_mse [K], iou_gt [B,K])."""
+    b, k = pred_masks.shape[:2]
+    t = targets.reshape(b, -1).astype(jnp.float32)
+    logits = pred_masks.reshape(b, k, -1).astype(jnp.float32)
+
+    # focal on bce-with-logits
+    bce = jnp.maximum(logits, 0) - logits * t[:, None] + \
+        jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    focal = alpha * (1.0 - jnp.exp(-bce))**gamma * bce
+    focal_per_level = jnp.mean(focal, axis=(0, 2))
+
+    p = jax.nn.sigmoid(logits)
+    # sums run over the whole flattened batch, as the reference does
+    inter = jnp.sum(p * t[:, None], axis=(0, 2))
+    dice_per_level = 1.0 - (2 * inter + smooth) / (
+        jnp.sum(p, axis=(0, 2)) + jnp.sum(t) + smooth)
+
+    binary = (logits >= mask_threshold).astype(jnp.float32)
+    bin_inter = jnp.sum(binary * t[:, None], axis=2)
+    iou_gt = (bin_inter + smooth) / (
+        jnp.sum(binary, 2) + jnp.sum(t, 1)[:, None] - bin_inter + smooth)
+    iou_mse = jnp.sum((pred_ious.astype(jnp.float32) - iou_gt)**2,
+                      axis=0) / b
+    return focal_per_level, dice_per_level, iou_mse, iou_gt
+
+
+@LOSSES.register()
+class SAMMultiLevelLoss:
+
+    def __init__(self, alpha=0.8, gamma=2.0, smooth=1e-4,
+                 focal_loss_weight=20.0, dice_loss_weight=1.0,
+                 iou_predict_loss_weight=1.0, mask_threshold=0.0):
+        self.alpha = alpha
+        self.gamma = gamma
+        self.smooth = smooth
+        self.focal_loss_weight = focal_loss_weight
+        self.dice_loss_weight = dice_loss_weight
+        self.iou_predict_loss_weight = iou_predict_loss_weight
+        self.mask_threshold = mask_threshold
+
+    def __call__(self, inputs, targets):
+        pred_masks, pred_ious = inputs
+        focal, dice, iou_mse, _ = _per_level_losses(
+            pred_masks, pred_ious, targets, self.alpha, self.gamma,
+            self.smooth, self.mask_threshold)
+        return {
+            "focal_loss": self.focal_loss_weight * jnp.mean(focal),
+            "dice_loss": self.dice_loss_weight * jnp.mean(dice),
+            "iou_predict_loss":
+                self.iou_predict_loss_weight * jnp.mean(iou_mse),
+        }
+
+
+@LOSSES.register()
+class SAMMultiLevelIoUMaxLoss(SAMMultiLevelLoss):
+    """Only the level with max IoU-vs-gt contributes (reference :134-244)."""
+
+    def __call__(self, inputs, targets):
+        pred_masks, pred_ious = inputs
+        focal, dice, iou_mse, iou_gt = _per_level_losses(
+            pred_masks, pred_ious, targets, self.alpha, self.gamma,
+            self.smooth, self.mask_threshold)
+        best = jnp.argmax(jnp.mean(iou_gt, axis=0))
+        return {
+            "focal_loss": self.focal_loss_weight * focal[best],
+            "dice_loss": self.dice_loss_weight * dice[best],
+            "iou_predict_loss": self.iou_predict_loss_weight * iou_mse[best],
+        }
+
+
+@LOSSES.register()
+class SAMDistillMSELoss:
+    """Encoder-feature distillation (reference distill_losses.py:11-25)."""
+
+    def __call__(self, stu_feature, tea_feature):
+        diff = stu_feature.astype(jnp.float32) - \
+            tea_feature.astype(jnp.float32)
+        return jnp.mean(diff**2)

@@ -87,6 +87,11 @@ def _conv_gauss(img, kernel):
 
 
 def _laplacian_pyramid(img, kernel, levels=5):
+    # clamp depth so every level keeps >=1 pixel (the reference assumes
+    # 832^2 inputs where 5 levels always fit)
+    import math
+    levels = min(levels, int(math.log2(max(min(img.shape[1],
+                                               img.shape[2]), 2))))
     pyr = []
     current = img
     for _ in range(levels):

@@ -107,6 +107,7 @@ class PFANSegmentation(nn.Module):
             use_gradient_checkpoint=self.use_gradient_checkpoint)
         self.decoder = _PFANDecoder(cpfe_planes=self.cpfe_planes)
 
+    @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.backbone(x, train)
         x = self.decoder(feats, train)
@@ -126,6 +127,7 @@ class PFANParsing(nn.Module):
             use_gradient_checkpoint=self.use_gradient_checkpoint)
         self.decoder = _PFANDecoder(cpfe_planes=self.cpfe_planes)
 
+    @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.backbone(x, train)
         x = self.decoder(feats, train)
@@ -145,6 +147,7 @@ class PFANMatting(nn.Module):
         self.global_decoder = _PFANDecoder(cpfe_planes=self.cpfe_planes)
         self.local_decoder = _PFANDecoder(cpfe_planes=self.cpfe_planes)
 
+    @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.backbone(x, train)
         g = self.global_decoder(feats, train)

