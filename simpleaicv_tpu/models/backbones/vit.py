@@ -26,6 +26,7 @@ __all__ = [
 class MultiHeadAttention(nn.Module):
     head_nums: int
     dropout_prob: float = 0.0
+    use_flash_attention: bool = False
     dtype = jnp.bfloat16
 
     @nn.compact
@@ -37,15 +38,24 @@ class MultiHeadAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.head_nums, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn * (head_dim**-0.5)
-        attn = nn.softmax(attn, axis=-1)
-        if self.dropout_prob > 0.0:
-            attn = nn.Dropout(self.dropout_prob, deterministic=not train)(attn)
-        attn = attn.astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
-                         preferred_element_type=jnp.float32)
+        if (self.use_flash_attention and self.dropout_prob == 0.0
+                and n % 128 == 0):
+            from ...ops.flash_attention import flash_attention
+            out = flash_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3))
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn * (head_dim**-0.5)
+            attn = nn.softmax(attn, axis=-1)
+            if self.dropout_prob > 0.0:
+                attn = nn.Dropout(self.dropout_prob,
+                                  deterministic=not train)(attn)
+            attn = attn.astype(self.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(b, n, c).astype(self.dtype)
         out = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
                        name="proj")(out)
@@ -79,12 +89,14 @@ class TransformerEncoderLayer(nn.Module):
     feedforward_ratio: int = 4
     dropout_prob: float = 0.0
     drop_path_prob: float = 0.0
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = MultiHeadAttention(self.head_nums, self.dropout_prob,
+                               self.use_flash_attention,
                                name="attn")(h.astype(jnp.bfloat16), train)
         x = x + DropPath(self.drop_path_prob)(h.astype(x.dtype), train)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -106,6 +118,7 @@ class ViT(nn.Module):
     global_pool: bool = False
     num_classes: int = 1000
     use_gradient_checkpoint: bool = False
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -137,7 +150,8 @@ class ViT(nn.Module):
             dpp = (0.0 if self.drop_path_prob == 0.0 else
                    self.drop_path_prob * i / max(self.block_nums - 1, 1))
             x = layer_cls(self.head_nums, self.feedforward_ratio,
-                          self.dropout_prob, dpp, name=f"blocks_{i}")(x, train)
+                          self.dropout_prob, dpp, self.use_flash_attention,
+                          name=f"blocks_{i}")(x, train)
 
         if self.global_pool:
             x = jnp.mean(x[:, 1:, :].astype(jnp.float32), axis=1)
