@@ -1,0 +1,42 @@
+"""OCR text-detection (DBNet) training entrypoint (parity: reference
+tools/train_text_detection_model.py + text_scripts.py:1675)."""
+
+import jax.numpy as jnp
+
+from common import parse_work_dir, load_train_config
+
+from simpleaicv_tpu.core.trainer import Trainer
+
+
+def make_loss_fn(model, criterion):
+
+    def loss_fn(params, state_vars, batch, rng, train):
+        variables = {"params": params, **state_vars}
+        mutable = [k for k in state_vars] if train else False
+        rngs = {"dropout": rng}
+        shapes = {k: batch[k] for k in
+                  ("probability_mask", "probability_ignore_mask",
+                   "threshold_mask", "threshold_ignore_mask")}
+        if train and mutable:
+            preds, new_vars = model.apply(variables, batch["image"], train,
+                                          rngs=rngs, mutable=mutable)
+        else:
+            preds = model.apply(variables, batch["image"], train, rngs=rngs)
+            new_vars = state_vars
+        loss_dict = criterion(preds, shapes)
+        total = jnp.zeros((), jnp.float32)
+        for v in loss_dict.values():
+            total = total + v
+        return total, (dict(loss_dict), new_vars)
+
+    return loss_fn
+
+
+def main():
+    args = parse_work_dir()
+    config = load_train_config(args)
+    Trainer(config, args.work_dir, make_loss_fn=make_loss_fn).run()
+
+
+if __name__ == "__main__":
+    main()
