@@ -1,1 +1,2 @@
 from .sam import *  # noqa: F401,F403
+from .light_sam import *  # noqa: F401,F403
