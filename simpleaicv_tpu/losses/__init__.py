@@ -18,3 +18,4 @@ from .interactive_segmentation import (SAMMultiLevelLoss,
 from .instance_segmentation import SOLOV2Loss  # noqa: F401
 from .yolact import YOLACTLoss  # noqa: F401
 from .detr import DETRLoss  # noqa: F401
+from .dinodetr import DINODETRLoss  # noqa: F401

@@ -1,0 +1,447 @@
+"""DINO-DETR (parity: reference
+simpleAICV/detection/models/dinodetr.py:22-449 +
+deformable_transformer.py:105-714 — 5-level deformable transformer with
+multi-scale deformable attention, two-stage encoder proposal selection
+(top-900), iterative box refinement, and contrastive denoising queries).
+
+TPU-first redesign:
+  * MSDeformAttn runs on the XLA bilinear-gather core (ops/msda.py) — the
+    reference's CUDA extension equivalent;
+  * all shapes static: the square collater canvas means no padding masks and
+    valid_ratios == 1 (the reference's mask plumbing exists for ragged
+    batches);
+  * denoising uses a static group layout: ``dn_groups`` groups of
+    2*max_dn_gt (positive+negative) queries built from the padded [B,M,5]
+    annotations with validity masks, instead of the reference's
+    batch-max-dependent dynamic group count (dinodetr.py:128-277).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...core.registry import BACKBONES, MODELS
+from ...ops.msda import ms_deform_attn
+from .detr import MHA
+
+__all__ = ["DINODETR", "resnet18_dinodetr", "resnet34_dinodetr",
+           "resnet50_dinodetr", "resnet101_dinodetr", "resnet152_dinodetr"]
+
+
+def inverse_sigmoid(x, eps=1e-4):
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.log(jnp.clip(x, eps, None) / jnp.clip(1.0 - x, eps, None))
+
+
+def sine_embed_4d(pos, planes=128):
+    """pos [..., 2 or 4] in [0,1] -> sine embedding (reference
+    gen_sineembed_for_position, deformable_transformer.py:458-493)."""
+    scale = 2 * math.pi
+    dim_t = 10000**(2 * (jnp.arange(planes) // 2) / planes)
+
+    def emb(v):
+        p = v[..., None] * scale / dim_t
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                         axis=-1).reshape(*v.shape, -1)
+
+    parts = [emb(pos[..., 1]), emb(pos[..., 0])]
+    if pos.shape[-1] == 4:
+        parts += [emb(pos[..., 2]), emb(pos[..., 3])]
+    return jnp.concatenate(parts, axis=-1)
+
+
+class MLPHead(nn.Module):
+    hidden: int
+    out: int
+    num_layers: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            d = self.out if i == self.num_layers - 1 else self.hidden
+            x = nn.Dense(d, dtype=jnp.float32, name=f"layers_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+        return x
+
+
+class MSDeformAttnModule(nn.Module):
+    """Parity: reference MSDeformAttn module
+    (multiscale_deformable_attention.py:75-170) with its directional
+    sampling-offset bias init."""
+    n_levels: int = 5
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, query, reference_points, value, spatial_shapes):
+        """query [B,Lq,C]; reference_points [B,Lq,L,2 or 4] normalised;
+        value [B,S,C]; spatial_shapes static tuple."""
+        b, lq, c = query.shape
+        h, l, p = self.n_heads, self.n_levels, self.n_points
+
+        def offsets_bias_init(key, shape, dtype=jnp.float32):
+            thetas = jnp.arange(h, dtype=jnp.float32) * (2 * math.pi / h)
+            grid = jnp.stack([jnp.cos(thetas), jnp.sin(thetas)], -1)
+            grid = grid / jnp.max(jnp.abs(grid), -1, keepdims=True)
+            grid = jnp.tile(grid[:, None, None, :], (1, l, p, 1))
+            scaling = jnp.arange(1, p + 1, dtype=jnp.float32)
+            grid = grid * scaling[None, None, :, None]
+            return grid.reshape(-1)
+
+        offsets = nn.Dense(h * l * p * 2, kernel_init=nn.initializers.zeros,
+                           bias_init=offsets_bias_init,
+                           name="sampling_offsets")(query)
+        weights = nn.Dense(h * l * p, kernel_init=nn.initializers.zeros,
+                           name="attention_weights")(query)
+        weights = jax.nn.softmax(weights.reshape(b, lq, h, l * p), -1)
+        weights = weights.reshape(b, lq, h, l, p)
+
+        v = nn.Dense(c, name="value_proj")(value)
+        v = v.reshape(b, -1, h, c // h)
+
+        offsets = offsets.reshape(b, lq, h, l, p, 2)
+        wh = jnp.asarray([[sw, sh] for sh, sw in spatial_shapes],
+                         jnp.float32)  # [L,2] (w,h)
+        if reference_points.shape[-1] == 2:
+            loc = reference_points[:, :, None, :, None, :] + \
+                offsets / wh[None, None, None, :, None, :]
+        else:
+            ref_xy = reference_points[..., :2]
+            ref_wh = reference_points[..., 2:]
+            loc = ref_xy[:, :, None, :, None, :] + \
+                offsets / p * ref_wh[:, :, None, :, None, :] * 0.5
+        out = ms_deform_attn(v, spatial_shapes, loc, weights)
+        return nn.Dense(c, name="output_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    n_levels: int
+    head_nums: int = 8
+    feedforward_planes: int = 2048
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes):
+        h = MSDeformAttnModule(self.n_levels, self.head_nums,
+                               name="self_attn")(src + pos, reference_points,
+                                                 src, spatial_shapes)
+        src = nn.LayerNorm(name="norm1")(src + h)
+        h = nn.Dense(self.feedforward_planes, name="linear1")(src)
+        h = nn.Dense(src.shape[-1], name="linear2")(nn.relu(h))
+        return nn.LayerNorm(name="norm2")(src + h)
+
+
+class DecoderLayer(nn.Module):
+    n_levels: int
+    head_nums: int = 8
+    feedforward_planes: int = 2048
+
+    @nn.compact
+    def __call__(self, tgt, query_pos, reference_points, memory,
+                 spatial_shapes, self_attn_mask=None):
+        # self attention
+        q = k = tgt + query_pos
+        h = SelfAttnWithMask(self.head_nums, name="self_attn")(
+            q, k, tgt, self_attn_mask)
+        tgt = nn.LayerNorm(name="norm2")(tgt + h)
+        # deformable cross attention
+        h = MSDeformAttnModule(self.n_levels, self.head_nums,
+                               name="cross_attn")(
+            tgt + query_pos, reference_points, memory, spatial_shapes)
+        tgt = nn.LayerNorm(name="norm1")(tgt + h)
+        # ffn
+        h = nn.Dense(self.feedforward_planes, name="linear1")(tgt)
+        h = nn.Dense(tgt.shape[-1], name="linear2")(nn.relu(h))
+        return nn.LayerNorm(name="norm3")(tgt + h)
+
+
+class SelfAttnWithMask(nn.Module):
+    head_nums: int = 8
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_mask=None):
+        c = q.shape[-1]
+        hd = c // self.head_nums
+        qh = nn.Dense(c, name="q")(q).reshape(*q.shape[:2], self.head_nums,
+                                              hd)
+        kh = nn.Dense(c, name="k")(k).reshape(*k.shape[:2], self.head_nums,
+                                              hd)
+        vh = nn.Dense(c, name="v")(v).reshape(*v.shape[:2], self.head_nums,
+                                              hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd**-0.5)
+        if attn_mask is not None:
+            # attn_mask [N,N] True = NOT allowed
+            attn = jnp.where(attn_mask[None, None], -1e9, attn)
+        attn = jax.nn.softmax(attn, -1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh)
+        return nn.Dense(c, name="out")(out.reshape(*q.shape[:2], c))
+
+
+class DINODETR(nn.Module):
+    backbone_type: str
+    hidden_inplanes: int = 256
+    head_nums: int = 8
+    query_nums: int = 900
+    feedforward_planes: int = 2048
+    encoder_layer_nums: int = 6
+    decoder_layer_nums: int = 6
+    num_classes: int = 80
+    # static denoising layout: dn_groups groups of 2*max_dn_gt queries
+    dn_groups: int = 5
+    max_dn_gt: int = 20
+    dn_box_noise_scale: float = 0.4
+    dn_label_noise_ratio: float = 0.5
+    use_gradient_checkpoint: bool = False
+
+    @nn.compact
+    def __call__(self, x, annotations=None, train: bool = False):
+        """x [B,H,W,3]; annotations [B,M,5] cxcywh-normalised + class
+        (pad −1) — used for denoising queries at train time.
+        Returns dict: pred_logits/pred_boxes (last layer),
+        aux [L,B,Q,*], interm (encoder proposals), dn_* (train only)."""
+        c = self.hidden_inplanes
+        backbone = BACKBONES.create(
+            self.backbone_type, features_only=True,
+            use_gradient_checkpoint=self.use_gradient_checkpoint)
+        feats = list(backbone(x, train))  # C2..C5 (strides 4,8,16,32)
+
+        srcs = []
+        for i, f in enumerate(feats):
+            s = nn.Conv(c, (1, 1), name=f"input_proj_{i}")(
+                f.astype(jnp.float32))
+            s = nn.GroupNorm(num_groups=32, name=f"input_proj_gn_{i}")(s)
+            srcs.append(s)
+        extra = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                        name=f"input_proj_{len(feats)}")(
+            feats[-1].astype(jnp.float32))
+        extra = nn.GroupNorm(num_groups=32,
+                             name=f"input_proj_gn_{len(feats)}")(extra)
+        srcs.append(extra)
+        n_levels = len(srcs)
+
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        b = x.shape[0]
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (n_levels, c), jnp.float32)
+
+        src_flat, pos_flat = [], []
+        for lvl, s in enumerate(srcs):
+            hh, ww = s.shape[1], s.shape[2]
+            mask = jnp.zeros((b, hh, ww))
+            from .detr import sine_position_embedding
+            pos = sine_position_embedding(mask, c // 2)
+            src_flat.append(s.reshape(b, hh * ww, c))
+            pos_flat.append(pos.reshape(b, hh * ww, c) + level_embed[lvl])
+        src = jnp.concatenate(src_flat, 1)
+        pos = jnp.concatenate(pos_flat, 1)
+
+        # encoder reference points: per-level normalized grid centers
+        refs = []
+        for hh, ww in spatial_shapes:
+            ys = (jnp.arange(hh) + 0.5) / hh
+            xs = (jnp.arange(ww) + 0.5) / ww
+            gx, gy = jnp.meshgrid(xs, ys)
+            refs.append(jnp.stack([gx, gy], -1).reshape(-1, 2))
+        enc_ref = jnp.concatenate(refs, 0)[None, :, None, :]
+        enc_ref = jnp.broadcast_to(enc_ref,
+                                   (b, enc_ref.shape[1], n_levels, 2))
+
+        memory = src
+        enc_layer_cls = EncoderLayer
+        if self.use_gradient_checkpoint:
+            enc_layer_cls = nn.remat(EncoderLayer)
+        for i in range(self.encoder_layer_nums):
+            memory = enc_layer_cls(n_levels, self.head_nums,
+                                   self.feedforward_planes,
+                                   name=f"encoder_{i}")(memory, pos, enc_ref,
+                                                        spatial_shapes)
+
+        # ---- two-stage proposal selection (reference :183-237,289-330) ----
+        props = []
+        for lvl, (hh, ww) in enumerate(spatial_shapes):
+            ys = (jnp.arange(hh, dtype=jnp.float32)[:, None] + 0.5) / hh
+            xs = (jnp.arange(ww, dtype=jnp.float32)[None, :] + 0.5) / ww
+            grid = jnp.stack([jnp.broadcast_to(xs, (hh, ww)),
+                              jnp.broadcast_to(ys, (hh, ww))], -1)
+            wh = jnp.full((hh, ww, 2), 0.05 * (2.0**lvl))
+            props.append(jnp.concatenate([grid, wh], -1).reshape(-1, 4))
+        proposals = jnp.concatenate(props, 0)[None]            # [1,S,4]
+        valid = jnp.all((proposals > 0.01) & (proposals < 0.99), -1)
+        proposals_unsig = inverse_sigmoid(proposals)
+        proposals_unsig = jnp.where(valid[..., None], proposals_unsig, 1e8)
+
+        out_mem = nn.LayerNorm(name="enc_output_norm")(
+            nn.Dense(c, name="enc_output")(memory))
+        enc_cls = nn.Dense(self.num_classes, name="enc_out_class_embed")(
+            out_mem)
+        enc_delta = MLPHead(c, 4, 3, name="enc_out_bbox_embed")(out_mem)
+        enc_coord_unsig = enc_delta + proposals_unsig
+
+        topk_scores = jnp.max(enc_cls, -1)
+        topk_scores = jnp.where(valid, topk_scores, -1e9)
+        _, topk_idx = jax.lax.top_k(topk_scores, self.query_nums)
+        ref_unsig = jnp.take_along_axis(enc_coord_unsig,
+                                        topk_idx[..., None], 1)
+        ref_unsig = jax.lax.stop_gradient(ref_unsig)
+        interm_coord = jax.nn.sigmoid(
+            jnp.take_along_axis(enc_coord_unsig, topk_idx[..., None], 1))
+        interm_cls = jnp.take_along_axis(
+            enc_cls, topk_idx[..., None].repeat(self.num_classes, -1), 1)
+
+        tgt_embed = self.param("tgt_embed", nn.initializers.normal(1.0),
+                               (self.query_nums, c), jnp.float32)
+        tgt = jnp.broadcast_to(tgt_embed[None], (b,) + tgt_embed.shape)
+
+        # ---- denoising queries (train only; static layout) ----
+        dn_meta = None
+        if train and annotations is not None and self.dn_groups > 0:
+            label_enc = nn.Embed(self.num_classes + 1, c,
+                                 name="label_encoder")
+            dn_tgt, dn_ref_unsig, attn_mask, dn_meta = self._prepare_dn(
+                annotations, label_enc)
+            tgt = jnp.concatenate([dn_tgt, tgt], 1)
+            ref_unsig = jnp.concatenate([dn_ref_unsig, ref_unsig], 1)
+        else:
+            attn_mask = None
+
+        # ---- decoder with iterative refinement ----
+        ref = jax.nn.sigmoid(ref_unsig)
+        hs_list, ref_list = [], []
+        dec_layer_cls = DecoderLayer
+        if self.use_gradient_checkpoint:
+            dec_layer_cls = nn.remat(DecoderLayer,
+                                     static_argnums=())
+        ref_point_head = MLPHead(c, c, 2, name="ref_point_head")
+        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        out = tgt
+        for i in range(self.decoder_layer_nums):
+            ref_input = ref[:, :, None, :].repeat(n_levels, 2)
+            sine = sine_embed_4d(ref, c // 2)
+            query_pos = ref_point_head(sine)
+            out = dec_layer_cls(n_levels, self.head_nums,
+                                self.feedforward_planes,
+                                name=f"decoder_{i}")(out, query_pos,
+                                                     ref_input, memory,
+                                                     spatial_shapes,
+                                                     attn_mask)
+            delta = MLPHead(c, 4, 3, name=f"bbox_embed_{i}")(out)
+            ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+            hs_list.append(decoder_norm(out))
+            ref_list.append(ref)
+            ref = jax.lax.stop_gradient(ref)
+
+        cls_outputs = jnp.stack([
+            nn.Dense(self.num_classes, name=f"class_embed_{i}")(h)
+            for i, h in enumerate(hs_list)], 0)        # [L,B,Q,C]
+        coord_outputs = jnp.stack(ref_list, 0)         # [L,B,Q,4]
+
+        outputs = {}
+        if dn_meta is not None:
+            pad = dn_meta["pad_size"]
+            outputs["dn_pred_logits"] = cls_outputs[:, :, :pad]
+            outputs["dn_pred_boxes"] = coord_outputs[:, :, :pad]
+            outputs["dn_meta"] = dn_meta
+            cls_outputs = cls_outputs[:, :, pad:]
+            coord_outputs = coord_outputs[:, :, pad:]
+        outputs["pred_logits"] = cls_outputs[-1]
+        outputs["pred_boxes"] = coord_outputs[-1]
+        outputs["aux_pred_logits"] = cls_outputs
+        outputs["aux_pred_boxes"] = coord_outputs
+        outputs["interm_pred_logits"] = interm_cls
+        outputs["interm_pred_boxes"] = interm_coord
+        return outputs
+
+    def _prepare_dn(self, annotations, label_enc):
+        """Static-shape contrastive denoising (reference
+        dinodetr.py:128-277): dn_groups groups of [pos | neg] * max_dn_gt."""
+        b, m_all = annotations.shape[0], annotations.shape[1]
+        m = min(self.max_dn_gt, m_all)
+        ann = annotations[:, :m]
+        cls = ann[..., 4]
+        valid = cls >= 0
+        boxes = ann[..., :4].astype(jnp.float32)
+        g = self.dn_groups
+        pad_size = 2 * g * m
+
+        rng_label = self.make_rng("dn")
+        rngs = jax.random.split(rng_label, 4)
+
+        # tile [g, 2, m]
+        cls_t = jnp.tile(cls[:, None, None, :], (1, g, 2, 1))
+        box_t = jnp.tile(boxes[:, None, None, :, :], (1, g, 2, 1, 1))
+        valid_t = jnp.tile(valid[:, None, None, :], (1, g, 2, 1))
+
+        # label noise
+        flip = jax.random.bernoulli(rngs[0], self.dn_label_noise_ratio * 0.5,
+                                    cls_t.shape)
+        rand_cls = jax.random.randint(rngs[1], cls_t.shape, 0,
+                                      self.num_classes)
+        noised_cls = jnp.where(flip, rand_cls.astype(cls_t.dtype),
+                               jnp.clip(cls_t, 0, None))
+        # box noise: pos group scale 1x, neg group (index 1) scale in (1,2]
+        diff = jnp.concatenate([box_t[..., 2:] / 2, box_t[..., 2:]], -1)
+        noise = jax.random.uniform(rngs[2], box_t.shape, minval=-1.0,
+                                   maxval=1.0)
+        neg_extra = jax.random.uniform(rngs[3], box_t.shape, minval=1.0,
+                                       maxval=2.0)
+        sign = jnp.where(noise >= 0, 1.0, -1.0)
+        pos_noise = noise * diff * self.dn_box_noise_scale
+        neg_noise = sign * neg_extra * diff * self.dn_box_noise_scale
+        is_neg = jnp.arange(2)[None, None, :, None, None] == 1
+        noised_box = box_t + jnp.where(is_neg, neg_noise, pos_noise)
+        noised_box = jnp.clip(noised_box, 0.0, 1.0)
+
+        dn_tgt = label_enc(noised_cls.astype(jnp.int32)).reshape(
+            b, pad_size, -1)
+        dn_ref_unsig = inverse_sigmoid(noised_box.reshape(b, pad_size, 4))
+
+        # attention mask: [pad+Q, pad+Q]; True = blocked
+        total = pad_size + self.query_nums
+        mask = jnp.zeros((total, total), bool)
+        # matching queries cannot see dn queries
+        mask = mask.at[pad_size:, :pad_size].set(True)
+        group = jnp.arange(pad_size) // (2 * m)
+        diff_group = group[:, None] != group[None, :]
+        mask = mask.at[:pad_size, :pad_size].set(diff_group)
+
+        dn_meta = {"pad_size": pad_size, "dn_groups": g, "max_dn_gt": m,
+                   "dn_valid": valid_t.reshape(b, pad_size),
+                   "dn_is_positive": jnp.tile(
+                       (jnp.arange(2) == 0)[None, None, :, None],
+                       (b, g, 1, m)).reshape(b, pad_size)}
+        return dn_tgt, dn_ref_unsig, mask, dn_meta
+
+
+def _dinodetr(backbone_type, **kwargs):
+    kwargs.pop("backbone_pretrained_path", None)
+    return DINODETR(backbone_type=backbone_type, **kwargs)
+
+
+@MODELS.register()
+def resnet18_dinodetr(**kwargs):
+    return _dinodetr("resnet18", **kwargs)
+
+
+@MODELS.register()
+def resnet34_dinodetr(**kwargs):
+    return _dinodetr("resnet34", **kwargs)
+
+
+@MODELS.register()
+def resnet50_dinodetr(**kwargs):
+    return _dinodetr("resnet50", **kwargs)
+
+
+@MODELS.register()
+def resnet101_dinodetr(**kwargs):
+    return _dinodetr("resnet101", **kwargs)
+
+
+@MODELS.register()
+def resnet152_dinodetr(**kwargs):
+    return _dinodetr("resnet152", **kwargs)
