@@ -1,0 +1,161 @@
+"""Single-image predictors — the serving layer (parity: reference
+gradio_demo/*.py, 13 apps at 2,271 LoC: module-level model build +
+load_state_dict + cv2 preprocess + single-image forward + draw).
+
+Each predictor wraps ONE jitted forward (compiled once, reused per request);
+the gradio UIs in demo/gradio_*.py are thin shells over these, so serving
+works headless too.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import cv2
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from simpleaicv_tpu.core.registry import MODELS, BACKBONES, DECODERS
+
+
+def _load_params(variables, trained_model_path):
+    if trained_model_path:
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(trained_model_path)
+        if "params" in restored:
+            variables = {**variables, "params": restored["params"]}
+    return variables
+
+
+class ClassificationPredictor:
+    """Parity: gradio_demo/1.gradio_classify_single_image.py."""
+
+    def __init__(self, network="resnet50", num_classes=1000, input_size=224,
+                 trained_model_path=""):
+        self.input_size = input_size
+        self.model = BACKBONES.create(network, num_classes=num_classes)
+        x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        variables = self.model.init({"params": jax.random.PRNGKey(0)}, x0,
+                                    False)
+        self.variables = _load_params(variables, trained_model_path)
+        self._forward = jax.jit(
+            lambda v, x: jax.nn.softmax(self.model.apply(v, x, False), -1))
+
+    def __call__(self, image_rgb: np.ndarray, topk: int = 5):
+        s = self.input_size
+        img = cv2.resize(image_rgb.astype(np.float32), (s, s)) / 255.0
+        probs = np.asarray(self._forward(self.variables, img[None]))[0]
+        idx = np.argsort(-probs)[:topk]
+        return [(int(i), float(probs[i])) for i in idx]
+
+
+class DetectionPredictor:
+    """Parity: gradio_demo/3.gradio_detect_single_image.py (retina/yolo
+    resize + decode + boxes)."""
+
+    def __init__(self, network="resnet50_fcos", decoder="FCOSDecoder",
+                 num_classes=80, input_size=800, trained_model_path="",
+                 decoder_kwargs=None):
+        self.input_size = input_size
+        self.model = MODELS.create(network, num_classes=num_classes)
+        x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        variables = self.model.init({"params": jax.random.PRNGKey(0)}, x0,
+                                    False)
+        self.variables = _load_params(variables, trained_model_path)
+        self.decoder = DECODERS.create(decoder, **(decoder_kwargs or {}))
+        self._forward = jax.jit(lambda v, x: self.model.apply(v, x, False))
+
+    def __call__(self, image_rgb: np.ndarray, score_threshold: float = 0.3):
+        h, w = image_rgb.shape[:2]
+        factor = self.input_size / max(h, w)
+        nh, nw = int(round(h * factor)), int(round(w * factor))
+        resized = cv2.resize(image_rgb.astype(np.float32), (nw, nh))
+        canvas = np.zeros((self.input_size, self.input_size, 3), np.float32)
+        canvas[:nh, :nw] = resized / 255.0
+        outs = self._forward(self.variables, jnp.asarray(canvas[None]))
+        scores, classes, boxes = self.decoder(outs)
+        keep = scores[0] > score_threshold
+        return (boxes[0][keep] / factor, classes[0][keep], scores[0][keep])
+
+    def draw(self, image_rgb, boxes, classes, scores):
+        img = image_rgb.copy().astype(np.uint8)
+        for box, cls, score in zip(boxes, classes, scores):
+            x1, y1, x2, y2 = box.astype(int)
+            cv2.rectangle(img, (x1, y1), (x2, y2), (0, 255, 0), 2)
+            cv2.putText(img, f"{int(cls)}:{score:.2f}", (x1, max(y1 - 4, 0)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+        return img
+
+
+class SemanticSegmentationPredictor:
+    """Parity: gradio_demo/4.gradio_semantic_segmentation_single_image.py."""
+
+    def __init__(self, network="resnet50_deeplabv3plus", num_classes=150,
+                 input_size=512, trained_model_path=""):
+        self.input_size = input_size
+        self.model = MODELS.create(network, num_classes=num_classes)
+        x0 = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        variables = self.model.init({"params": jax.random.PRNGKey(0)}, x0,
+                                    False)
+        self.variables = _load_params(variables, trained_model_path)
+        self._forward = jax.jit(
+            lambda v, x: jnp.argmax(self.model.apply(v, x, False), -1))
+
+    def __call__(self, image_rgb: np.ndarray):
+        h, w = image_rgb.shape[:2]
+        s = self.input_size
+        img = cv2.resize(image_rgb.astype(np.float32), (s, s)) / 255.0
+        mask = np.asarray(self._forward(self.variables, img[None]))[0]
+        return cv2.resize(mask.astype(np.uint8), (w, h),
+                          interpolation=cv2.INTER_NEAREST)
+
+
+class SAMPredictor:
+    """Parity: gradio_demo SAM apps — point/box prompted mask prediction."""
+
+    def __init__(self, network="sam_b", image_size=1024,
+                 trained_model_path="", **model_kwargs):
+        self.image_size = image_size
+        self.model = MODELS.create(network, image_size=image_size,
+                                   **model_kwargs)
+        x0 = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+        prompts = {"prompt_point": jnp.full((1, 9, 3), -1.0),
+                   "prompt_box": jnp.zeros((1, 4)),
+                   "prompt_mask": jnp.zeros((1, image_size // 4,
+                                             image_size // 4, 1))}
+        variables = self.model.init(jax.random.PRNGKey(0), x0, prompts,
+                                    (0, 1, 2, 3), False)
+        self.variables = _load_params(variables, trained_model_path)
+
+        def fwd(v, x, points):
+            pr = {"prompt_point": points, "prompt_box": None,
+                  "prompt_mask": None}
+            masks, ious = self.model.apply(v, x, pr, (0, 1, 2, 3), False)
+            best = jnp.argmax(ious, -1)
+            return jnp.take_along_axis(
+                masks, best[:, None, None, None].repeat(
+                    masks.shape[2], 2).repeat(masks.shape[3], 3), 1)[:, 0]
+
+        self._forward = jax.jit(fwd)
+
+    def __call__(self, image_rgb: np.ndarray, points_xy):
+        h, w = image_rgb.shape[:2]
+        s = self.image_size
+        factor = s / max(h, w)
+        nh, nw = int(round(h * factor)), int(round(w * factor))
+        canvas = np.zeros((s, s, 3), np.float32)
+        canvas[:nh, :nw] = cv2.resize(image_rgb.astype(np.float32),
+                                      (nw, nh)) / 255.0
+        pts = np.full((1, 9, 3), -1.0, np.float32)
+        for i, (x, y) in enumerate(points_xy[:9]):
+            pts[0, i] = [x * factor, y * factor, 1.0]
+        mask = np.asarray(self._forward(self.variables,
+                                        jnp.asarray(canvas[None]),
+                                        jnp.asarray(pts)))[0]
+        mask = (mask > 0).astype(np.uint8)[:nh, :nw]
+        return cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)

@@ -1,0 +1,82 @@
+"""FID / Inception Score (parity: reference
+simpleAICV/diffusion_model/metrics/inception.py:8-325 (InceptionV3 port) +
+compute_fid_model_metric (calculate_frechet_distance:31,
+compute_inception_score:90)).
+
+The InceptionV3 feature extractor is a linen port of the torchvision
+architecture; weights load through the generic torch converter
+(core/weight_convert.py) from an `inception_v3` checkpoint when present —
+FID numbers are only meaningful with those weights."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+from scipy import linalg
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
+    """Parity: reference metrics/inception.py calculate_frechet_distance."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) -
+                 2 * np.trace(covmean))
+
+
+def compute_fid(real_features: np.ndarray, fake_features: np.ndarray) -> float:
+    mu1, sigma1 = real_features.mean(0), np.cov(real_features, rowvar=False)
+    mu2, sigma2 = fake_features.mean(0), np.cov(fake_features, rowvar=False)
+    return calculate_frechet_distance(mu1, sigma1, mu2, sigma2)
+
+
+def compute_inception_score(probs: np.ndarray, splits: int = 10):
+    """probs [N, 1000] softmax outputs -> (mean IS, std)."""
+    n = probs.shape[0]
+    scores = []
+    for i in range(splits):
+        part = probs[i * n // splits:(i + 1) * n // splits]
+        py = part.mean(0, keepdims=True)
+        kl = part * (np.log(part + 1e-10) - np.log(py + 1e-10))
+        scores.append(np.exp(kl.sum(1).mean()))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def make_inception_feature_fn(weights_path: Optional[str] = None):
+    """feature_fn(images [N,H,W,3] f32 in [-1,1]) -> (pool [N,2048],
+    probs [N,1000]). Architecture: models/inception_v3.py; a torchvision
+    inception_v3 state_dict loads through core/weight_convert.py (FID/IS are
+    only meaningful with trained weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.inception_v3 import InceptionV3
+
+    model = InceptionV3()
+    x0 = jnp.zeros((1, 299, 299, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
+    if weights_path:
+        from ..core.weight_convert import convert_torch_checkpoint
+        new_params, n = convert_torch_checkpoint(weights_path,
+                                                 variables["params"])
+        variables = {**variables, "params": new_params}
+
+    @jax.jit
+    def forward(images):
+        images = jax.image.resize(
+            images, (images.shape[0], 299, 299, 3), "bilinear")
+        pool, logits = model.apply(variables, images, False)
+        return pool, jax.nn.softmax(logits, -1)
+
+    def feature_fn(images):
+        pool, probs = forward(jnp.asarray(images, jnp.float32))
+        return np.asarray(pool), np.asarray(probs)
+
+    return feature_fn
