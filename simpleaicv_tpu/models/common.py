@@ -22,6 +22,16 @@ import jax.numpy as jnp
 
 Dtype = Any
 
+# BatchNorm compute dtype. Stats/params stay f32 either way (param_dtype);
+# bf16 normalization math keeps the whole residual path on the MXU/VPU fast
+# path. Flip with set_bn_compute_dtype() before model construction.
+_BN_COMPUTE_DTYPE = jnp.float32
+
+
+def set_bn_compute_dtype(dtype):
+    global _BN_COMPUTE_DTYPE
+    _BN_COMPUTE_DTYPE = dtype
+
 
 class ConvBnAct(nn.Module):
     """conv -> (bn) -> (act); parity with the reference's ConvBnActBlock
@@ -48,7 +58,7 @@ class ConvBnAct(nn.Module):
                     name="conv")(x)
         if self.has_bn:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=jnp.float32,
+                             epsilon=1e-5, dtype=_BN_COMPUTE_DTYPE,
                              param_dtype=jnp.float32, name="bn")(x)
             x = x.astype(self.dtype)
         if self.has_act:
