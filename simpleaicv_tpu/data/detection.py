@@ -162,3 +162,44 @@ class DetectionCollater:
             sizes[i] = s.get("size", img.shape[:2])
         return {"image": images, "annots": annots, "scale": scales,
                 "size": sizes}
+
+
+class DETRDetectionCollater:
+    """Adds the boolean padding mask and cxcywh-normalised 'scaled_annots'
+    (parity: reference DETRDetectionCollater, common.py:289-359)."""
+
+    def __init__(self, resize=800, resize_type="yolo_style",
+                 max_annots_num=100):
+        assert resize_type in ("retina_style", "yolo_style")
+        self.resize = resize
+        if resize_type == "retina_style":
+            self.resize = int(round(resize * 1333.0 / 800))
+        self.max_annots_num = max_annots_num
+
+    def __call__(self, samples):
+        n = len(samples)
+        r = self.resize
+        images = np.zeros((n, r, r, 3), np.float32)
+        masks = np.ones((n, r, r), np.float32)   # 1 = padding
+        annots = np.full((n, self.max_annots_num, 5), -1.0, np.float32)
+        scaled = np.full((n, self.max_annots_num, 5), -1.0, np.float32)
+        scales = np.zeros((n,), np.float32)
+        sizes = np.zeros((n, 2), np.float32)
+        for i, s in enumerate(samples):
+            img = s["image"]
+            h, w = img.shape[:2]
+            images[i, :h, :w] = img
+            masks[i, :h, :w] = 0.0
+            a = s["annots"]
+            m = min(a.shape[0], self.max_annots_num)
+            if m > 0:
+                annots[i, :m] = a[:m]
+                ctr = (a[:m, 0:2] + a[:m, 2:4]) / 2
+                wh = a[:m, 2:4] - a[:m, 0:2]
+                size_vec = np.array([w, h, w, h], np.float32)
+                scaled[i, :m, :4] = np.concatenate([ctr, wh], 1) / size_vec
+                scaled[i, :m, 4] = a[:m, 4]
+            scales[i] = s.get("scale", 1.0)
+            sizes[i] = s.get("size", img.shape[:2])
+        return {"image": images, "mask": masks, "annots": annots,
+                "scaled_annots": scaled, "scale": scales, "size": sizes}

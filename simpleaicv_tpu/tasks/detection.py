@@ -68,3 +68,33 @@ def evaluate_coco(model, params, state_vars, decoder, loader,
     key = stats.get("IoU=0.5:0.95,area=all,maxDets=100,mAP", -1.0)
     stats["key_metric"] = key * 100.0
     return stats
+
+
+def make_detr_loss_fn(model, criterion) -> Callable:
+    """DETR/DINO-DETR variant: the model takes (image, mask-or-annotations)
+    and the criterion consumes cxcywh-normalised 'scaled_annots'
+    (reference tools/scripts.py:871-876)."""
+
+    def loss_fn(params, state_vars, batch, rng, train):
+        variables = {"params": params, **state_vars}
+        mutable = [k for k in state_vars] if train else False
+        rngs = {"dropout": rng, "dn": rng}
+
+        def run(*args, **kw):
+            if train and mutable:
+                return model.apply(variables, *args, train, rngs=rngs,
+                                   mutable=mutable, **kw)
+            return model.apply(variables, *args, train, rngs=rngs, **kw), \
+                state_vars
+
+        if hasattr(model, "dn_groups"):  # DINO-DETR signature
+            outs, new_vars = run(batch["image"], batch["scaled_annots"])
+        else:
+            outs, new_vars = run(batch["image"], batch["mask"])
+        loss_dict = criterion(outs, batch["scaled_annots"])
+        total = jnp.zeros((), jnp.float32)
+        for v in loss_dict.values():
+            total = total + v
+        return total, (dict(loss_dict), new_vars)
+
+    return loss_fn

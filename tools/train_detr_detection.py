@@ -1,0 +1,38 @@
+"""DETR-family training entrypoint (parity: reference train_detection_model
+with DETRDetectionCollater inputs; covers DETR and DINO-DETR)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from common import parse_work_dir, load_train_config
+
+from simpleaicv_tpu.core.trainer import Trainer
+from simpleaicv_tpu.tasks import detection
+
+
+class DETRTrainer(Trainer):
+
+    def _init_variables(self, model, rng, init_batch):
+        s = self.config.input_image_size
+        images = init_batch["image"]
+        if hasattr(model, "dn_groups"):  # DINO-DETR: init WITH dn queries
+            m = model.max_dn_gt
+            ann = np.full((images.shape[0], m, 5), -1.0, np.float32)
+            ann[:, 0] = [0.5, 0.5, 0.2, 0.2, 0]
+            return model.init({"params": rng, "dropout": rng, "dn": rng},
+                              images, jnp.asarray(ann), True)
+        masks = jnp.zeros(images.shape[:3])
+        return model.init({"params": rng, "dropout": rng}, images, masks,
+                          True)
+
+
+def main():
+    args = parse_work_dir()
+    config = load_train_config(args)
+    DETRTrainer(config, args.work_dir,
+                make_loss_fn=detection.make_detr_loss_fn).run()
+
+
+if __name__ == "__main__":
+    main()
