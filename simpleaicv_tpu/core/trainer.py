@@ -138,6 +138,14 @@ class Trainer:
             config.scheduler, config.optimizer, config.epochs)
         self.tx, group_table = build_optimizer(self.opt_cfg, self.sched_cfg,
                                                steps_per_epoch, params)
+        # startup dumps (parity: reference per-parameter lr/wd table +
+        # full config dump, tools/train_classification_model.py:96-134)
+        if jax.process_index() == 0:
+            from .config import config_repr
+            self.logger.info(config_repr(config))
+            for name, lr, scale, wd in group_table:
+                self.logger.info(
+                    f"param {name}: lr {lr} lr_scale {scale} wd {wd}")
 
         # ---- engine ----
         self.engine_cfg = EngineConfig(
@@ -188,6 +196,15 @@ class Trainer:
             self.logger.info(msg)
 
     def shard(self, batch):
+        def numeric(x):
+            return np.issubdtype(np.asarray(x).dtype, np.number) or \
+                np.issubdtype(np.asarray(x).dtype, np.bool_)
+
+        if isinstance(batch, dict):
+            # host-side payloads (e.g. raw text labels) stay off-device and
+            # out of the jitted step
+            batch = {k: v for k, v in batch.items()
+                     if v is not None and numeric(v)}
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(
                 self.batch_sharding, np.asarray(x)), batch)

@@ -36,6 +36,10 @@ class CTCLoss:
         per_seq = optax.ctc_loss(preds.astype(jnp.float32), logit_paddings,
                                  targets.astype(jnp.int32), label_paddings,
                                  blank_id=self.blank_index)
+        # torch CTCLoss(zero_infinity=True) parity: infeasible alignments
+        # (target longer than the time axis allows) contribute 0
+        per_seq = jnp.where(jnp.isfinite(per_seq) & (per_seq < 1e5), per_seq,
+                            0.0)
         if self.use_focal_weight:
             pt = jnp.exp(-per_seq)
             per_seq = jnp.power(1.0 - pt, self.gamma) * per_seq
