@@ -1,0 +1,48 @@
+"""Detection eval entrypoint (parity: reference tools/test_detection_model.py
+— restores weights, runs the COCO/VOC eval pipeline once)."""
+
+from common import parse_work_dir, load_test_config
+
+import jax
+import jax.numpy as jnp
+
+from simpleaicv_tpu.core.logging_utils import get_logger
+from simpleaicv_tpu.core.profile import compute_macs_and_params, \
+    format_macs_params
+from simpleaicv_tpu.data.loader import DataLoader
+from simpleaicv_tpu.tasks import detection
+
+
+def main():
+    args = parse_work_dir()
+    config = load_test_config(args)
+    logger = get_logger("test")
+
+    model = config.model
+    s = config.input_image_size
+    x0 = jnp.zeros((1, s, s, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
+    ckpt_path = getattr(config, "trained_model_path", "")
+    if ckpt_path:
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(ckpt_path)
+        if "params" in restored:
+            variables = {**variables, "params": restored["params"]}
+
+    macs, params = compute_macs_and_params(
+        lambda v, x: model.apply(v, x, False), variables, x0)
+    logger.info(format_macs_params(macs, params))
+
+    loader = DataLoader(config.test_dataset, config.batch_size,
+                        config.test_collater, shuffle=False, drop_last=False,
+                        num_workers=getattr(config, "num_workers", 4))
+    state_vars = {k: v for k, v in variables.items() if k != "params"}
+    stats = detection.evaluate_coco(model, variables["params"], state_vars,
+                                    config.decoder, loader,
+                                    config.num_classes)
+    for k, v in stats.items():
+        logger.info(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
