@@ -43,12 +43,16 @@ def make_loss_fn(model, criterion, mask_out_idxs=(0, 1, 2, 3)) -> Callable:
 
 
 def sample_error_region_points(pred_masks, gt_masks, prev_points):
-    """Append one new point per image at the arg-max error pixel.
+    """Add one refinement click per image at the arg-max error pixel,
+    written into the first free (-1-label) padding slot so the prompt tensor
+    keeps its fixed shape (no recompiles across refinement iterations).
 
     pred_masks [B,1,H,W] logits; gt_masks [B,H,W]; prev_points [B,N,3].
     New point label = gt value at that pixel (1: should be fg -> positive
-    click, 0: should be bg -> negative click)."""
+    click, 0: should be bg -> negative click). If no free slot remains, the
+    last slot is overwritten."""
     b, _, h, w = pred_masks.shape
+    n = prev_points.shape[1]
     pred_bin = (pred_masks[:, 0] > 0).astype(jnp.float32)
     err = jnp.abs(pred_bin - gt_masks.astype(jnp.float32))
     flat_idx = jnp.argmax(err.reshape(b, -1), axis=1)
@@ -57,8 +61,31 @@ def sample_error_region_points(pred_masks, gt_masks, prev_points):
     labels = jnp.take_along_axis(
         gt_masks.reshape(b, -1).astype(jnp.float32), flat_idx[:, None],
         axis=1)[:, 0]
-    new_pt = jnp.stack([xs, ys, labels], axis=1)[:, None, :]
-    return jnp.concatenate([prev_points, new_pt], axis=1)
+    new_pt = jnp.stack([xs, ys, labels], axis=1)          # [B,3]
+
+    is_free = prev_points[:, :, 2] < 0                    # [B,N]
+    slot = jnp.argmax(is_free, axis=1)
+    slot = jnp.where(jnp.any(is_free, axis=1), slot, n - 1)
+    return prev_points.at[jnp.arange(b), slot].set(new_pt)
+
+
+def make_predict_best_mask_fn(model):
+    """Jitted best-mask logits for refinement-point sampling."""
+
+    def predict(params, state_vars, images, points):
+        variables = {"params": params, **state_vars}
+        prompts = {"prompt_point": points, "prompt_box": None,
+                   "prompt_mask": None}
+        masks, ious = model.apply(variables, images, prompts, (0, 1, 2, 3),
+                                  False)
+        best = jnp.argmax(ious, axis=-1)
+        sel = jnp.take_along_axis(
+            masks, best[:, None, None, None].repeat(masks.shape[2],
+                                                    2).repeat(
+                masks.shape[3], 3), axis=1)
+        return sel  # [B,1,H,W]
+
+    return jax.jit(predict)
 
 
 class SegmentationEvalMeter:

@@ -97,7 +97,14 @@ def test_error_region_point_sampling():
     pred = jnp.zeros((2, 1, 8, 8))  # logits 0 -> predicted bg everywhere
     gt = jnp.zeros((2, 8, 8)).at[:, 4, 5].set(1.0)
     prev = jnp.full((2, 3, 3), -1.0)
+    prev = prev.at[:, 0].set(jnp.asarray([1.0, 1.0, 1.0]))  # slot 0 taken
     pts = sample_error_region_points(pred, gt, prev)
-    assert pts.shape == (2, 4, 3)
-    np.testing.assert_allclose(np.asarray(pts[:, -1]),
+    assert pts.shape == (2, 3, 3)  # fixed shape: slot insertion, no concat
+    np.testing.assert_allclose(np.asarray(pts[:, 1]),
+                               [[5, 4, 1], [5, 4, 1]])  # first free slot
+    np.testing.assert_allclose(np.asarray(pts[:, 0]), 1.0)  # untouched
+    # full prompt: overwrite last slot
+    full = jnp.ones((2, 3, 3))
+    pts2 = sample_error_region_points(pred, gt, full)
+    np.testing.assert_allclose(np.asarray(pts2[:, 2]),
                                [[5, 4, 1], [5, 4, 1]])

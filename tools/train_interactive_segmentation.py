@@ -36,6 +36,7 @@ class SAMTrainer(Trainer):
                          make_loss_fn=lambda model, criterion:
                          sam_task.make_loss_fn(model, criterion),
                          init_batch=init_batch)
+        self._predict = sam_task.make_predict_best_mask_fn(self.model)
 
     def _init_variables(self, model, rng, init_batch):
         s = self.config.input_image_size
@@ -66,16 +67,24 @@ class SAMTrainer(Trainer):
                 if k not in keep:
                     use_batch[k] = None
 
-            for it in range(self.decoder_point_iters):
-                gbatch = {k: (self.shard(
-                    {"x": v})["x"] if v is not None else None)
-                    for k, v in use_batch.items()}
+            gbatch = {k: (self.shard({"x": v})["x"] if v is not None
+                          else None) for k, v in use_batch.items()}
+            refine = ("prompt_point" in keep)
+            iters = self.decoder_point_iters if refine else 1
+            for it in range(iters):
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state, metrics = self.train_step(self.state, gbatch,
                                                       step_rng)
-                if it + 1 < self.decoder_point_iters and \
-                        use_batch.get("prompt_point") is not None:
-                    break  # refinement point resampling done in jit in v2
+                if it + 1 < iters:
+                    # resample a click at the arg-max error pixel (jit,
+                    # fixed-shape slot insertion)
+                    masks = self._predict(self.state.params,
+                                          self.state.state_vars,
+                                          gbatch["image"],
+                                          gbatch["prompt_point"])
+                    gbatch["prompt_point"] = \
+                        sam_task.sample_error_region_points(
+                            masks, gbatch["mask"], gbatch["prompt_point"])
             if i % self.print_interval == 0:
                 loss_meter.update(float(metrics["loss"]))
                 self.log(f"epoch {epoch} iter {i}/{self.steps_per_epoch} "
