@@ -1,0 +1,53 @@
+"""Human-matting eval entrypoint (parity: reference
+tools/test_human_matting_model.py — SAD/MAE/MSE meter)."""
+
+from common import parse_work_dir, load_test_config
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from simpleaicv_tpu.core.engine import make_eval_step
+from simpleaicv_tpu.core.logging_utils import get_logger
+from simpleaicv_tpu.data.loader import DataLoader
+from simpleaicv_tpu.parallel.mesh import MeshConfig, batch_sharding, make_mesh
+from simpleaicv_tpu.tasks import matting
+
+
+def main():
+    args = parse_work_dir()
+    config = load_test_config(args)
+    logger = get_logger("test")
+
+    model = config.model
+    s = config.input_image_size
+    x0 = jnp.zeros((1, s, s, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
+    ckpt_path = getattr(config, "trained_model_path", "")
+    if ckpt_path:
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(ckpt_path)
+        if "params" in restored:
+            variables = {**variables, "params": restored["params"]}
+
+    mesh = make_mesh(MeshConfig())
+    bsh = batch_sharding(mesh)
+
+    def shard(batch):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                bsh, np.asarray(x)), batch)
+
+    loader = DataLoader(config.test_dataset, config.batch_size,
+                        config.test_collater, shuffle=False, drop_last=False,
+                        num_workers=getattr(config, "num_workers", 4))
+    eval_step = make_eval_step(matting.make_eval_fn(model))
+    state_vars = {k: v for k, v in variables.items() if k != "params"}
+    stats = matting.make_evaluate()(eval_step, variables["params"],
+                                    state_vars, loader, shard)
+    for k, v in stats.items():
+        logger.info(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
