@@ -32,7 +32,11 @@ class config:
         InstanceRandomHorizontalFlip(prob=0.5),
         InstanceNormalize(),
     ])
-    train_dataset = None   # wire CocoInstanceSegmentation reader (round 2)
+    from path import COCO2017_path
+    from simpleaicv_tpu.data.datasets import CocoInstanceSegmentation
+    train_dataset = CocoInstanceSegmentation(
+        COCO2017_path, set_name="train2017", filter_no_object_image=True,
+        transform=_transform)
     test_dataset = None
     train_collater = SOLOV2InstanceSegmentationCollater(
         resize=input_image_size, resize_type="yolo_style")
