@@ -47,6 +47,7 @@ class CocoMAPEvaluator:
         self.max_dets = max_dets
         # per class: list of (scores, tp[T, D], n_gt per area)
         self._images: List[dict] = []
+        self._prepared = None  # per-class grouping + IoU cache (lazy)
 
     def add_image(self, det_boxes, det_scores, det_classes, gt_boxes,
                   gt_classes):
@@ -57,55 +58,87 @@ class CocoMAPEvaluator:
             gt_boxes=np.asarray(gt_boxes, np.float32),
             gt_classes=np.asarray(gt_classes, np.int32),
         ))
+        self._prepared = None
+
+    def _prepare(self):
+        """Group dets/gts by class once per image, pre-sort dets by score,
+        and cache the IoU matrix + box areas (shared by all 4 area ranges —
+        COCOeval computes ious once per (img, cat) the same way)."""
+        prepared = []
+        for img in self._images:
+            per_class = {}
+            classes = np.unique(np.concatenate(
+                [img["det_classes"], img["gt_classes"]]))
+            for k in classes.tolist():
+                dets = img["det_boxes"][img["det_classes"] == k]
+                scores = img["det_scores"][img["det_classes"] == k]
+                gts = img["gt_boxes"][img["gt_classes"] == k]
+                order = np.argsort(-scores, kind="stable")[:self.max_dets]
+                dets, scores = dets[order], scores[order]
+                per_class[k] = dict(
+                    dets=dets, scores=scores, gts=gts,
+                    ious=_box_iou(dets, gts),
+                    det_area=np.clip(dets[:, 2] - dets[:, 0], 0, None) *
+                    np.clip(dets[:, 3] - dets[:, 1], 0, None),
+                    gt_area=np.clip(gts[:, 2] - gts[:, 0], 0, None) *
+                    np.clip(gts[:, 3] - gts[:, 1], 0, None))
+            prepared.append(per_class)
+        self._prepared = prepared
 
     def _match_one(self, dets, det_scores, gts, area_rng):
-        """Greedy matching per COCOeval. Returns (tp [T,D], gt_ignore count,
-        det_ignore [T,D])."""
+        """Greedy matching per COCOeval. Returns (tp [T,D], det_ignore [T,D],
+        sorted scores, non-ignored gt count)."""
+        order = np.argsort(-det_scores, kind="stable")[:self.max_dets]
+        dets, scores = dets[order], det_scores[order]
+        entry = dict(
+            dets=dets, scores=scores, gts=gts, ious=_box_iou(dets, gts),
+            det_area=np.clip(dets[:, 2] - dets[:, 0], 0, None) *
+            np.clip(dets[:, 3] - dets[:, 1], 0, None),
+            gt_area=np.clip(gts[:, 2] - gts[:, 0], 0, None) *
+            np.clip(gts[:, 3] - gts[:, 1], 0, None))
+        return self._match_prepared(entry, area_rng)
+
+    def _match_prepared(self, entry, area_rng):
+        """Core greedy matching on a cached (class, image) entry."""
         T = len(IOU_THRS)
-        gt_area = np.clip(gts[:, 2] - gts[:, 0], 0, None) * np.clip(
-            gts[:, 3] - gts[:, 1], 0, None)
-        gt_ignore = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+        gt_ignore = ((entry["gt_area"] < area_rng[0]) |
+                     (entry["gt_area"] > area_rng[1]))
         # sort gts: non-ignored first (COCOeval sorts by ignore flag)
         gt_order = np.argsort(gt_ignore, kind="stable")
-        gts = gts[gt_order]
         gt_ignore = gt_ignore[gt_order]
-
-        order = np.argsort(-det_scores, kind="stable")[:self.max_dets]
-        dets = dets[order]
-        D, G = dets.shape[0], gts.shape[0]
-        ious = _box_iou(dets, gts)
+        ious = entry["ious"][:, gt_order]
+        D, G = ious.shape
 
         tp = np.zeros((T, D), bool)
         det_ig = np.zeros((T, D), bool)
-        for t, thr in enumerate(IOU_THRS):
-            gt_matched = np.zeros(G, bool)
+        if G > 0:
+            thr_eff = np.minimum(IOU_THRS, 1 - 1e-10)[:, None]  # [T,1]
+            gt_matched = np.zeros((T, G), bool)
+            t_idx = np.arange(T)
             for d in range(D):
-                best_iou = min(thr, 1 - 1e-10)
-                best_g = -1
-                for g in range(G):
-                    if gt_matched[g]:
-                        continue
-                    # once we hit ignored gts, only continue if no match yet
-                    if best_g > -1 and not gt_ignore[best_g] and gt_ignore[g]:
-                        break
-                    if ious[d, g] < best_iou:
-                        continue
-                    best_iou = ious[d, g]
-                    best_g = g
-                if best_g >= 0:
-                    gt_matched[best_g] = True
-                    if gt_ignore[best_g]:
-                        det_ig[t, d] = True
-                    else:
-                        tp[t, d] = True
+                # all thresholds at once: among unmatched gts above each
+                # threshold, prefer non-ignored (COCOeval's ignore-sorted
+                # scan); pick the highest-IoU gt in the pool
+                cand = (~gt_matched) & (ious[d][None, :] >= thr_eff)  # [T,G]
+                non_ig = cand & ~gt_ignore[None, :]
+                use_non_ig = non_ig.any(1, keepdims=True)
+                pool = np.where(use_non_ig, non_ig, cand)
+                has = pool.any(1)
+                if not has.any():
+                    continue
+                best_g = np.argmax(np.where(pool, ious[d][None, :], -1.0), 1)
+                rows = t_idx[has]
+                picked = best_g[has]
+                gt_matched[rows, picked] = True
+                picked_ig = gt_ignore[picked]
+                det_ig[rows, d] = picked_ig
+                tp[rows, d] = ~picked_ig
         # unmatched dets outside the area range are ignored
-        det_area = np.clip(dets[:, 2] - dets[:, 0], 0, None) * np.clip(
-            dets[:, 3] - dets[:, 1], 0, None)
-        out_of_range = (det_area < area_rng[0]) | (det_area > area_rng[1])
-        for t in range(T):
-            det_ig[t] |= (~tp[t]) & out_of_range
+        out_of_range = ((entry["det_area"] < area_rng[0]) |
+                        (entry["det_area"] > area_rng[1]))
+        det_ig |= (~tp) & out_of_range[None, :]
         n_gt = int((~gt_ignore).sum())
-        return tp, det_ig, det_scores[order], n_gt
+        return tp, det_ig, entry["scores"], n_gt
 
     def _accumulate(self, area_name):
         """-> precision [T, R, K], recall [T, K]."""
@@ -114,21 +147,25 @@ class CocoMAPEvaluator:
         precision = -np.ones((T, R, K))
         recall = -np.ones((T, K))
 
+        if self._prepared is None:
+            self._prepare()
+        # invert image-major cache to class-major
+        by_class: Dict[int, list] = {}
+        for per_class in self._prepared:
+            for k, entry in per_class.items():
+                by_class.setdefault(k, []).append(entry)
+
         for k in range(K):
             all_tp, all_ig, all_scores = [], [], []
             total_gt = 0
-            for img in self._images:
-                det_mask = img["det_classes"] == k
-                gt_mask = img["gt_classes"] == k
-                tp, det_ig, scores, n_gt = self._match_one(
-                    img["det_boxes"][det_mask],
-                    img["det_scores"][det_mask],
-                    img["gt_boxes"][gt_mask], area_rng)
+            for entry in by_class.get(k, ()):
+                tp, det_ig, scores, n_gt = self._match_prepared(
+                    entry, area_rng)
                 all_tp.append(tp)
                 all_ig.append(det_ig)
                 all_scores.append(scores)
                 total_gt += n_gt
-            if total_gt == 0:
+            if not all_scores or total_gt == 0:
                 continue
             scores = np.concatenate(all_scores)
             order = np.argsort(-scores, kind="mergesort")

@@ -21,7 +21,9 @@ class DINODETRLoss:
     def __init__(self, cls_match_cost=2.0, box_match_cost=5.0,
                  giou_match_cost=2.0, cls_loss_weight=1.0,
                  box_l1_loss_weight=5.0, iou_loss_weight=2.0, alpha=0.25,
-                 gamma=2.0, num_classes=80):
+                 gamma=2.0, num_classes=80, matcher="hungarian"):
+        assert matcher in ("hungarian", "auction")
+        self.matcher = matcher
         self.cls_match_cost = cls_match_cost
         self.box_match_cost = box_match_cost
         self.giou_match_cost = giou_match_cost
@@ -59,6 +61,9 @@ class DINODETRLoss:
                 self.giou_match_cost * giou_cost)
         cost = jnp.where(valid[:, None, :], cost, 1e8)
         cost = jax.lax.stop_gradient(cost)
+        if self.matcher == "auction":
+            from ..ops.matcher import auction_match_batch
+            return auction_match_batch(cost, valid)
         b, q = cls_pred.shape[:2]
         return jax.pure_callback(
             _hungarian_host, jax.ShapeDtypeStruct((b, q), jnp.int32),

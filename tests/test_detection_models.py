@@ -87,3 +87,72 @@ def test_coco_map_half_missed():
     # recall limited to 0.5, precision 1 up to that recall
     ap = stats["IoU=0.5:0.95,area=all,maxDets=100,mAP"]
     assert 0.4 < ap < 0.6
+
+
+def test_coco_match_vectorized_equals_loop():
+    """The vectorized greedy matcher must equal a literal restatement of
+    COCOeval's per-(threshold, det, gt) scan (the ignore-sorted break rule)."""
+    from simpleaicv_tpu.evaluation.coco_eval import (AREA_RANGES, IOU_THRS,
+                                                     _box_iou)
+
+    def loop_match(dets, det_scores, gts, area_rng, max_dets=100):
+        T = len(IOU_THRS)
+        gt_area = np.clip(gts[:, 2] - gts[:, 0], 0, None) * np.clip(
+            gts[:, 3] - gts[:, 1], 0, None)
+        gt_ignore = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+        gt_order = np.argsort(gt_ignore, kind="stable")
+        gts, gt_ignore = gts[gt_order], gt_ignore[gt_order]
+        order = np.argsort(-det_scores, kind="stable")[:max_dets]
+        dets = dets[order]
+        D, G = dets.shape[0], gts.shape[0]
+        ious = _box_iou(dets, gts)
+        tp = np.zeros((T, D), bool)
+        det_ig = np.zeros((T, D), bool)
+        for t, thr in enumerate(IOU_THRS):
+            gt_matched = np.zeros(G, bool)
+            for d in range(D):
+                best_iou = min(thr, 1 - 1e-10)
+                best_g = -1
+                for g in range(G):
+                    if gt_matched[g]:
+                        continue
+                    if best_g > -1 and not gt_ignore[best_g] and gt_ignore[g]:
+                        break
+                    if ious[d, g] < best_iou:
+                        continue
+                    best_iou = ious[d, g]
+                    best_g = g
+                if best_g >= 0:
+                    gt_matched[best_g] = True
+                    if gt_ignore[best_g]:
+                        det_ig[t, d] = True
+                    else:
+                        tp[t, d] = True
+        det_area = np.clip(dets[:, 2] - dets[:, 0], 0, None) * np.clip(
+            dets[:, 3] - dets[:, 1], 0, None)
+        oor = (det_area < area_rng[0]) | (det_area > area_rng[1])
+        for t in range(T):
+            det_ig[t] |= (~tp[t]) & oor
+        return tp, det_ig
+
+    rng = np.random.RandomState(7)
+    ev = CocoMAPEvaluator(num_classes=1)
+    for area_rng in AREA_RANGES.values():
+        for _ in range(20):
+            ng, nd = rng.randint(0, 12), rng.randint(0, 30)
+            gx = rng.uniform(0, 200, (ng, 2))
+            gts = np.concatenate(
+                [gx, gx + rng.uniform(2, 150, (ng, 2))], 1).astype(np.float32)
+            # half the dets perturb real gts, half are random
+            dx = rng.uniform(0, 200, (nd, 2))
+            dets = np.concatenate(
+                [dx, dx + rng.uniform(2, 150, (nd, 2))], 1).astype(np.float32)
+            if ng and nd:
+                take = rng.randint(0, ng, nd // 2)
+                dets[:nd // 2] = gts[take] + rng.uniform(
+                    -8, 8, (nd // 2, 4)).astype(np.float32)
+            scores = rng.uniform(0, 1, nd).astype(np.float32)
+            tp_v, ig_v, _, _ = ev._match_one(dets, scores, gts, area_rng)
+            tp_l, ig_l = loop_match(dets, scores, gts, area_rng)
+            np.testing.assert_array_equal(tp_v, tp_l)
+            np.testing.assert_array_equal(ig_v, ig_l)

@@ -24,3 +24,20 @@ def load_train_config(args):
 
 def load_test_config(args):
     return load_config(args.work_dir, "test_config")
+
+
+def restore_trained_params(ckpt_path, init_params):
+    """Restore a best/named-final checkpoint ({'params', 'metric'}) onto the
+    freshly-initialized param tree so restore works regardless of how many
+    devices the checkpoint was saved with (Orbax refuses a target-less
+    restore when the device set changed)."""
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    try:
+        payload = ckpt.restore(ckpt_path, {
+            "params": init_params, "metric": jnp.zeros((), jnp.float32)})
+    except BaseException:
+        payload = ckpt.restore(ckpt_path, {"params": init_params})
+    return payload["params"]

@@ -36,10 +36,8 @@ def main():
 
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
-        import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(ckpt_path)
-        if "params" in restored:
-            variables = {**variables, "params": restored["params"]}
+        variables = {**variables, "params": common.restore_trained_params(
+            ckpt_path, variables["params"])}
 
     def forward(x):
         return model.apply(variables, x, False)

@@ -2,7 +2,7 @@
 tools/test_classification_model.py:30-98 — restores best/specified weights,
 reports MACs/params then top-1/top-5)."""
 
-from common import parse_work_dir, load_test_config
+from common import parse_work_dir, load_test_config, restore_trained_params
 
 import jax
 import jax.numpy as jnp
@@ -29,10 +29,8 @@ def main():
 
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
-        import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(ckpt_path)
-        if "params" in restored:
-            variables = {**variables, "params": restored["params"]}
+        variables = {**variables, "params": restore_trained_params(
+            ckpt_path, variables["params"])}
 
     macs, params = compute_macs_and_params(
         lambda v, x: model.apply(v, x, False), variables, x0)

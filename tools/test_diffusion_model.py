@@ -7,7 +7,7 @@ import os
 
 import numpy as np
 
-from common import parse_work_dir, load_test_config
+from common import parse_work_dir, load_test_config, restore_trained_params
 
 import jax
 import jax.numpy as jnp
@@ -29,10 +29,8 @@ def main():
                            jnp.zeros((n,), jnp.int32), None, False)
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
-        import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(ckpt_path)
-        if "params" in restored:
-            variables = {**variables, "params": restored["params"]}
+        variables = {**variables, "params": restore_trained_params(
+            ckpt_path, variables["params"])}
 
     generate = diffusion.make_generate_fn(model, config.sampler,
                                           (n, s, s, 3))

@@ -1,7 +1,7 @@
 """Human-matting eval entrypoint (parity: reference
 tools/test_human_matting_model.py — SAD/MAE/MSE meter)."""
 
-from common import parse_work_dir, load_test_config
+from common import parse_work_dir, load_test_config, restore_trained_params
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +25,8 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
-        import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(ckpt_path)
-        if "params" in restored:
-            variables = {**variables, "params": restored["params"]}
+        variables = {**variables, "params": restore_trained_params(
+            ckpt_path, variables["params"])}
 
     mesh = make_mesh(MeshConfig())
     bsh = batch_sharding(mesh)

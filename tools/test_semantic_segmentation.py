@@ -1,7 +1,7 @@
 """Semantic-segmentation eval entrypoint (parity: reference
 tools/test_semantic_segmentation_model.py)."""
 
-from common import parse_work_dir, load_test_config
+from common import parse_work_dir, load_test_config, restore_trained_params
 
 import jax
 import jax.numpy as jnp
@@ -28,10 +28,8 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
-        import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(ckpt_path)
-        if "params" in restored:
-            variables = {**variables, "params": restored["params"]}
+        variables = {**variables, "params": restore_trained_params(
+            ckpt_path, variables["params"])}
 
     macs, params = compute_macs_and_params(
         lambda v, x: model.apply(v, x, False), variables, x0)

@@ -1,7 +1,7 @@
 """OCR recognition eval entrypoint (parity: reference
 tools/test_text_recognition_model.py — string accuracy + LCS P/R)."""
 
-from common import parse_work_dir, load_test_config
+from common import parse_work_dir, load_test_config, restore_trained_params
 
 import jax
 import jax.numpy as jnp
@@ -22,10 +22,8 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
-        import orbax.checkpoint as ocp
-        restored = ocp.StandardCheckpointer().restore(ckpt_path)
-        if "params" in restored:
-            variables = {**variables, "params": restored["params"]}
+        variables = {**variables, "params": restore_trained_params(
+            ckpt_path, variables["params"])}
 
     loader = DataLoader(config.test_dataset, config.batch_size,
                         config.test_collater, shuffle=False, drop_last=False,
