@@ -130,3 +130,23 @@ class SegLovaszLoss:
             total = total + jnp.where(present, loss, 0.0)
             count = count + present.astype(jnp.float32)
         return total / jnp.clip(count, 1.0, None)
+
+
+@LOSSES.register()
+class SegCombinedLoss:
+    """Weighted sum of registered segmentation losses — mirrors the
+    reference's per-config loss_list/loss_ratio composition (e.g. face/human
+    parsing trains CELoss + IoULoss, reference 11/12.*_parsing_training
+    train_config.py loss_list)."""
+
+    def __init__(self, loss_cfg):
+        """loss_cfg: list of (name, ratio, kwargs) tuples."""
+        from ..core.registry import LOSSES as _L
+        self.parts = [(name, ratio, _L.create(name, **kw))
+                      for name, ratio, kw in loss_cfg]
+
+    def __call__(self, pred, label):
+        total = 0.0
+        for _, ratio, loss in self.parts:
+            total = total + ratio * loss(pred, label)
+        return total

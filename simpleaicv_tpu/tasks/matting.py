@@ -30,7 +30,8 @@ def make_loss_fn(model, criterion_cfg) -> Callable:
         total = jnp.zeros((), jnp.float32)
         metrics = {}
         for name, (ratio, loss) in criterion_cfg.items():
-            if name.startswith("Global"):
+            # "Gloabel" covers the reference's typo'd GloabelTrimapIouLoss
+            if name.startswith(("Global", "Gloabel")):
                 v = loss(g, batch["trimap"])
             elif name.startswith("Local"):
                 v = loss(l, batch["alpha"], batch["trimap"])
