@@ -15,7 +15,7 @@ import numpy as np
 
 BATCH = 128
 IMAGE = 224
-STEPS = 20
+STEPS = 100  # long enough to amortize ~2ms/step relay dispatch overhead
 
 # ResNet-50 @224: ~4.134 GMACs fwd (reference results.md MACs tables) ->
 # ~8.27 GFLOPs fwd, ~3x for fwd+bwd.

@@ -20,8 +20,9 @@ class config:
     model = MODELS.create(network, num_classes=num_classes)
     decoder = DECODERS.create("FCOSDecoder", topn=500, max_object_num=50)
 
-    trained_model_path = os.path.join(_DIR, "checkpoints",
-                                      "resnet18_fcos-metric0.618")
+    # the 'best' dir is the stable name; the metric-suffixed symlink next to
+    # it changes per run
+    trained_model_path = os.path.join(_DIR, "checkpoints", "best")
 
     test_dataset = FakeDetectionDataset(
         num_samples=16, image_hw=160, num_classes=num_classes,

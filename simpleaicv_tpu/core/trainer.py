@@ -187,9 +187,13 @@ class Trainer:
         self.print_interval = getattr(config, "print_interval", 50)
 
     def _init_variables(self, model, rng, init_batch):
-        """Overridable model initialisation (SAM etc. need extra call args)."""
-        return model.init({"params": rng, "dropout": rng},
-                          init_batch["image"], True)
+        """Overridable model initialisation (SAM etc. need extra call args).
+        Jitted: eager init dispatches every op individually, which is
+        minutes-slow through a relayed TPU backend."""
+        @jax.jit
+        def _init(r, image):
+            return model.init({"params": r, "dropout": r}, image, True)
+        return _init(rng, init_batch["image"])
 
     def log(self, msg: str):
         if jax.process_index() == 0:

@@ -25,8 +25,9 @@ def main():
     s = config.input_image_size
     n = getattr(config, "generate_num", 16)
     x0 = jnp.zeros((n, s, s, 3), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x0,
-                           jnp.zeros((n,), jnp.int32), None, False)
+    variables = jax.jit(lambda r, x, t: model.init(
+        {"params": r}, x, t, None, False))(
+        jax.random.PRNGKey(0), x0, jnp.zeros((n,), jnp.int32))
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
         variables = {**variables, "params": restore_trained_params(

@@ -25,7 +25,8 @@ def main():
     model = config.model
     s = config.input_image_size
     x0 = jnp.zeros((1, s, s, 3), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
+    variables = jax.jit(lambda r, x: model.init({"params": r}, x, False))(
+        jax.random.PRNGKey(0), x0)
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
         variables = {**variables, "params": restore_trained_params(

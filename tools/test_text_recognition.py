@@ -19,7 +19,8 @@ def main():
     model = config.model
     batch0 = config.test_collater([config.test_dataset[0]])
     x0 = jnp.asarray(batch0["image"])
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
+    variables = jax.jit(lambda r, x: model.init({"params": r}, x, False))(
+        jax.random.PRNGKey(0), x0)
     ckpt_path = getattr(config, "trained_model_path", "")
     if ckpt_path:
         variables = {**variables, "params": restore_trained_params(

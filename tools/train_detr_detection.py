@@ -20,11 +20,17 @@ class DETRTrainer(Trainer):
             m = model.max_dn_gt
             ann = np.full((images.shape[0], m, 5), -1.0, np.float32)
             ann[:, 0] = [0.5, 0.5, 0.2, 0.2, 0]
-            return model.init({"params": rng, "dropout": rng, "dn": rng},
-                              images, jnp.asarray(ann), True)
+            @jax.jit
+            def _init_dn(r, img, a):
+                return model.init({"params": r, "dropout": r, "dn": r},
+                                  img, a, True)
+            return _init_dn(rng, images, jnp.asarray(ann))
         masks = jnp.zeros(images.shape[:3])
-        return model.init({"params": rng, "dropout": rng}, images, masks,
-                          True)
+
+        @jax.jit
+        def _init(r, img, mk):
+            return model.init({"params": r, "dropout": r}, img, mk, True)
+        return _init(rng, images, masks)
 
 
 def main():

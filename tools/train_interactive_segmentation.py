@@ -45,8 +45,11 @@ class SAMTrainer(Trainer):
             "prompt_box": jnp.zeros((2, 4)),
             "prompt_mask": jnp.zeros((2, s // 4, s // 4, 1)),
         }
-        return model.init({"params": rng, "dropout": rng},
-                          init_batch["image"], prompts, (0, 1, 2, 3), True)
+        @jax.jit
+        def _init(r, image, pr):
+            return model.init({"params": r, "dropout": r}, image, pr,
+                              (0, 1, 2, 3), True)
+        return _init(rng, init_batch["image"], prompts)
 
     def train_epoch(self, epoch):
         self.train_loader.set_epoch(epoch)

@@ -11,10 +11,7 @@ from simpleaicv_tpu.core.trainer import Trainer
 
 
 class DistillTrainer(Trainer):
-
-    def _init_variables(self, model, rng, init_batch):
-        return model.init({"params": rng, "dropout": rng},
-                          init_batch["image"], True)
+    pass
 
 
 def make_loss_fn(model, criterion):
