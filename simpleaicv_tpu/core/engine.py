@@ -53,6 +53,11 @@ class EngineConfig:
     use_ema: bool = False
     ema_decay: float = 0.9999
     skip_non_finite: bool = True
+    # gradient clipping (reference tools/scripts.py:204-219: clip_grad_value_
+    # then clip_grad_norm_ when the config sets them; DETR configs use
+    # clip_max_norm=0.1). 0 disables.
+    clip_grad_value: float = 0.0
+    clip_max_norm: float = 0.0
 
 
 def _tree_finite(tree) -> jnp.ndarray:
@@ -117,6 +122,15 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
                                                 (micro, rngs))
             grads = jax.tree.map(lambda g: g / accum, gsum)
             metrics = jax.tree.map(jnp.mean, ms)
+
+        if cfg.clip_grad_value and cfg.clip_grad_value > 0:
+            v = cfg.clip_grad_value
+            grads = jax.tree.map(lambda g: jnp.clip(g, -v, v), grads)
+        if cfg.clip_max_norm and cfg.clip_max_norm > 0:
+            gnorm = optax.global_norm(grads)
+            scale = jnp.minimum(1.0, cfg.clip_max_norm /
+                                jnp.maximum(gnorm, 1e-12))
+            grads = jax.tree.map(lambda g: g * scale, grads)
 
         ok = jnp.asarray(True)
         if cfg.skip_non_finite:

@@ -152,6 +152,8 @@ class Trainer:
             accumulation_steps=getattr(config, "accumulation_steps", 1),
             use_ema=getattr(config, "use_ema_model", False),
             ema_decay=getattr(config, "ema_model_decay", 0.9999),
+            clip_grad_value=getattr(config, "clip_grad_value", 0.0),
+            clip_max_norm=getattr(config, "clip_max_norm", 0.0),
         )
         self.state = create_train_state(params, state_vars, self.tx,
                                         self.engine_cfg)

@@ -39,24 +39,77 @@ def _box_iou(a, b):
     return inter / union
 
 
-class CocoMAPEvaluator:
-    """Accumulate per-image (dets, gts); compute() returns the 12 COCO stats."""
+def _mask_iou(a, b):
+    """[N,H,W],[M,H,W] binary -> [N,M] mask IoU (COCOeval iouType='segm')."""
+    if a.shape[0] == 0 or b.shape[0] == 0:
+        return np.zeros((a.shape[0], b.shape[0]), np.float32)
+    af = a.reshape(a.shape[0], -1).astype(np.float32)
+    bf = b.reshape(b.shape[0], -1).astype(np.float32)
+    inter = af @ bf.T
+    area_a = af.sum(1)
+    area_b = bf.sum(1)
+    union = np.clip(area_a[:, None] + area_b[None, :] - inter, 1e-9, None)
+    return inter / union
 
-    def __init__(self, num_classes: int, max_dets: int = 100):
+
+class CocoMAPEvaluator:
+    """Accumulate per-image (dets, gts); compute() returns the 12 COCO stats.
+
+    ``iou_type='segm'`` evaluates mask mAP (reference
+    tools/scripts.py:1428-1548 evaluate_coco_instance_segmentation via
+    COCOeval 'segm'): pass det_masks/gt_masks ([N,H,W] binary) to add_image;
+    IoU and areas come from the masks and the masks are discarded immediately
+    (only the per-class IoU cache is stored)."""
+
+    def __init__(self, num_classes: int, max_dets: int = 100,
+                 iou_type: str = "bbox"):
+        assert iou_type in ("bbox", "segm")
         self.num_classes = num_classes
         self.max_dets = max_dets
+        self.iou_type = iou_type
         # per class: list of (scores, tp[T, D], n_gt per area)
         self._images: List[dict] = []
         self._prepared = None  # per-class grouping + IoU cache (lazy)
+        self._segm_prepared: List[dict] = []
 
-    def add_image(self, det_boxes, det_scores, det_classes, gt_boxes,
-                  gt_classes):
+    def add_image(self, det_boxes=None, det_scores=None, det_classes=None,
+                  gt_boxes=None, gt_classes=None, det_masks=None,
+                  gt_masks=None, area_scale: float = 1.0):
+        """area_scale multiplies mask pixel areas so small/medium/large
+        buckets stay in original-image pixels when masks are evaluated at a
+        reduced resolution (pass (downsample/scale)**2)."""
+        det_scores = np.asarray(det_scores, np.float32)
+        det_classes = np.asarray(det_classes, np.int32)
+        gt_classes = np.asarray(gt_classes, np.int32)
+        if self.iou_type == "segm":
+            det_masks = np.asarray(det_masks) > 0.5
+            gt_masks = np.asarray(gt_masks) > 0.5
+            if det_masks.ndim == 2:  # no dets: allow [0, ...] shapes
+                det_masks = det_masks.reshape((0,) + gt_masks.shape[1:]) \
+                    if gt_masks.ndim == 3 else det_masks[None][:0]
+            per_class = {}
+            classes = np.unique(np.concatenate([det_classes, gt_classes]))
+            for k in classes.tolist():
+                dm = det_masks[det_classes == k]
+                scores = det_scores[det_classes == k]
+                gm = gt_masks[gt_classes == k]
+                order = np.argsort(-scores, kind="stable")[:self.max_dets]
+                dm, scores = dm[order], scores[order]
+                def _areas(m):
+                    if m.shape[0] == 0:
+                        return np.zeros((0,), np.float32)
+                    return m.reshape(m.shape[0], -1).sum(1).astype(
+                        np.float32) * area_scale
+                per_class[k] = dict(scores=scores, ious=_mask_iou(dm, gm),
+                                    det_area=_areas(dm), gt_area=_areas(gm))
+            self._segm_prepared.append(per_class)
+            return
         self._images.append(dict(
             det_boxes=np.asarray(det_boxes, np.float32),
-            det_scores=np.asarray(det_scores, np.float32),
-            det_classes=np.asarray(det_classes, np.int32),
+            det_scores=det_scores,
+            det_classes=det_classes,
             gt_boxes=np.asarray(gt_boxes, np.float32),
-            gt_classes=np.asarray(gt_classes, np.int32),
+            gt_classes=gt_classes,
         ))
         self._prepared = None
 
@@ -147,11 +200,15 @@ class CocoMAPEvaluator:
         precision = -np.ones((T, R, K))
         recall = -np.ones((T, K))
 
-        if self._prepared is None:
-            self._prepare()
+        if self.iou_type == "segm":
+            prepared = self._segm_prepared
+        else:
+            if self._prepared is None:
+                self._prepare()
+            prepared = self._prepared
         # invert image-major cache to class-major
         by_class: Dict[int, list] = {}
-        for per_class in self._prepared:
+        for per_class in prepared:
             for k, entry in per_class.items():
                 by_class.setdefault(k, []).append(entry)
 

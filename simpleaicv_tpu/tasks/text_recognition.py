@@ -43,9 +43,37 @@ def lcs_length(a: str, b: str) -> int:
     return int(dp[len(a), len(b)])
 
 
+def edit_distance(a: str, b: str) -> int:
+    """Levenshtein distance (replaces the reference's nltk edit_distance,
+    text_scripts.py:9)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = np.arange(len(b) + 1, dtype=np.int32)
+    for i, ca in enumerate(a, 1):
+        cur = np.empty(len(b) + 1, np.int32)
+        cur[0] = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+        prev = cur
+    return int(prev[-1])
+
+
+def normalized_edit_similarity(pred: str, gt: str) -> float:
+    """ICDAR2019 1-NED term per sample (reference text_scripts.py:233-244:
+    1 - ED/max_len, 0 when either string empty)."""
+    if len(pred) == 0 or len(gt) == 0:
+        return 0.0
+    return 1.0 - edit_distance(pred, gt) / max(len(gt), len(pred))
+
+
 def evaluate_text_recognition(model, params, state_vars, loader,
                               converter) -> dict:
-    """String accuracy + LCS char precision/recall."""
+    """String accuracy + LCS char precision/recall + mean 1-NED
+    (reference text_scripts.py:72-248 semantics: whitespace stripped,
+    case-insensitive)."""
 
     @jax.jit
     def forward(p, sv, images):
@@ -54,13 +82,19 @@ def evaluate_text_recognition(model, params, state_vars, loader,
     n_correct = 0
     n_total = 0
     lcs_sum = pred_chars = gt_chars = 0
+    ne_sum = 0.0
     for batch in loader:
         preds = forward(params, state_vars, jnp.asarray(batch["image"]))
         idxs = np.asarray(jnp.argmax(preds, axis=-1))
         pred_texts = converter.decode(idxs)
         for pred, gt in zip(pred_texts, batch["texts"]):
+            pred_n = pred.replace(" ", "").lower()
+            gt_n = gt.replace(" ", "").lower()
+            if not gt_n:
+                continue
             n_total += 1
-            n_correct += int(pred == gt)
+            n_correct += int(pred_n == gt_n)
+            ne_sum += normalized_edit_similarity(pred_n, gt_n)
             lcs = lcs_length(pred, gt)
             lcs_sum += lcs
             pred_chars += len(pred)
@@ -69,4 +103,5 @@ def evaluate_text_recognition(model, params, state_vars, loader,
     precision = lcs_sum / max(pred_chars, 1) * 100
     recall = lcs_sum / max(gt_chars, 1) * 100
     return {"str_acc": acc, "lcs_precision": precision, "lcs_recall": recall,
+            "edit_distance_1ned": ne_sum / max(n_total, 1) * 100,
             "key_metric": acc}

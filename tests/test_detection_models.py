@@ -156,3 +156,35 @@ def test_coco_match_vectorized_equals_loop():
             tp_l, ig_l = loop_match(dets, scores, gts, area_rng)
             np.testing.assert_array_equal(tp_v, tp_l)
             np.testing.assert_array_equal(ig_v, ig_l)
+
+
+def test_coco_segm_map_perfect_and_partial():
+    """Mask mAP (iou_type='segm'): perfect masks -> 1.0; a detection with
+    a half-overlapping mask only counts at low IoU thresholds."""
+    rng = np.random.RandomState(0)
+    ev = CocoMAPEvaluator(num_classes=2, iou_type="segm")
+    for _ in range(3):
+        gt = np.zeros((2, 32, 32), np.uint8)
+        gt[0, 4:16, 4:16] = 1
+        gt[1, 18:30, 18:30] = 1
+        ev.add_image(det_scores=np.array([0.9, 0.8]),
+                     det_classes=np.array([0, 1]),
+                     gt_classes=np.array([0, 1]),
+                     det_masks=gt.copy(), gt_masks=gt)
+    stats = ev.compute()
+    assert stats["IoU=0.5:0.95,area=all,maxDets=100,mAP"] == pytest.approx(
+        1.0, abs=1e-6)
+
+    ev = CocoMAPEvaluator(num_classes=1, iou_type="segm")
+    gt = np.zeros((1, 32, 32), np.uint8)
+    gt[0, 0:16, 0:16] = 1
+    det = np.zeros((1, 32, 32), np.uint8)
+    det[0, 0:16, 0:8] = 1  # IoU = 0.5 exactly
+    ev.add_image(det_scores=np.array([0.9]), det_classes=np.array([0]),
+                 gt_classes=np.array([0]), det_masks=det, gt_masks=gt)
+    stats = ev.compute()
+    # matches at IoU 0.5 only -> AP = 1/10 of thresholds
+    assert stats["IoU=0.5,area=all,maxDets=100,mAP"] == pytest.approx(1.0)
+    assert stats["IoU=0.75,area=all,maxDets=100,mAP"] == pytest.approx(0.0)
+    assert stats["IoU=0.5:0.95,area=all,maxDets=100,mAP"] == pytest.approx(
+        0.1, abs=1e-6)

@@ -107,3 +107,38 @@ def test_ema_tracks(mesh8):
     cur = jax.flatten_util.ravel_pytree(state.params)[0]
     assert float(jnp.max(jnp.abs(ema - cur))) > 0  # lags behind
     assert jnp.all(jnp.isfinite(ema))
+
+
+def test_engine_clip_grad(mesh8):
+    """Engine-level clipping (reference tools/scripts.py:204-219): with SGD
+    (no momentum yet at step 1) and clip_max_norm, the param delta norm is
+    bounded by lr * clip_max_norm."""
+    model = TinyNet()
+    x0 = jnp.zeros((8, 4, 4, 3))
+    variables = model.init(jax.random.PRNGKey(0), x0, True)
+    params = variables["params"]
+    state_vars = {k: v for k, v in variables.items() if k != "params"}
+
+    opt_cfg = OptimizerConfig(name="SGD", lr=1.0, momentum=0.0,
+                              weight_decay=0.0)
+    sched_cfg = SchedulerConfig(scheduler="MultiStepLR", lr=1.0, epochs=10,
+                                milestones=[100])
+    tx, _ = build_optimizer(opt_cfg, sched_cfg, 10, params)
+    eng_cfg = EngineConfig(clip_max_norm=1e-3)
+    state = create_train_state(params, state_vars, tx, eng_cfg)
+    step = make_train_step(make_loss_fn(model, CELoss()), tx, eng_cfg,
+                           donate=False)
+    before = jax.flatten_util.ravel_pytree(state.params)[0]
+    state, m = step(state, _batch(mesh8, seed=3), jax.random.PRNGKey(0))
+    after = jax.flatten_util.ravel_pytree(state.params)[0]
+    delta = float(jnp.linalg.norm(after - before))
+    assert 0 < delta <= 1e-3 + 1e-6
+
+    # clip_grad_value: every grad element clamped -> delta_inf <= lr * v
+    eng_cfg = EngineConfig(clip_grad_value=1e-4)
+    state2 = create_train_state(params, state_vars, tx, eng_cfg)
+    step2 = make_train_step(make_loss_fn(model, CELoss()), tx, eng_cfg,
+                            donate=False)
+    state2, _ = step2(state2, _batch(mesh8, seed=3), jax.random.PRNGKey(0))
+    after2 = jax.flatten_util.ravel_pytree(state2.params)[0]
+    assert float(jnp.max(jnp.abs(after2 - before))) <= 1e-4 * 1.001

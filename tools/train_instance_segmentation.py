@@ -32,7 +32,22 @@ def make_loss_fn(model, criterion):
 def main():
     args = parse_work_dir()
     config = load_train_config(args)
-    Trainer(config, args.work_dir, make_loss_fn=make_loss_fn).run()
+
+    from simpleaicv_tpu.tasks import instance_segmentation as inst
+
+    def evaluate(eval_step, params, state_vars, loader, shard_fn):
+        del eval_step, shard_fn
+        return inst.evaluate_coco_segm(config.model, params, state_vars,
+                                       config.decoder, loader,
+                                       config.num_classes)
+
+    trainer = Trainer(config, args.work_dir, make_loss_fn=make_loss_fn)
+    # mask-mAP eval needs the decoder; wire it like detection does
+    if getattr(config, "test_dataset", None) is not None and \
+            getattr(config, "decoder", None) is not None:
+        trainer.evaluate = evaluate
+        trainer.eval_step = lambda *a, **k: None
+    trainer.run()
 
 
 if __name__ == "__main__":
