@@ -1,0 +1,21 @@
+"""Gradio face parsing demo (parity: reference
+gradio_demo/11.gradio_face_parsing_single_image.py). Headless predict via
+demo/predictors.py when gradio is unavailable."""
+
+from predictors import ParsingPredictor
+
+predictor = ParsingPredictor()
+
+
+def predict(image):
+    return predictor(image)
+
+
+if __name__ == "__main__":
+    try:
+        import gradio as gr
+    except ImportError:
+        raise SystemExit("gradio is not installed in this environment; use "
+                         "demo.predictors.ParsingPredictor directly.")
+    gr.Interface(fn=predict, inputs=gr.Image(type="numpy"),
+                 outputs="json").launch()
