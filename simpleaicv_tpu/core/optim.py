@@ -55,6 +55,10 @@ class OptimizerConfig:
     # grad clipping (reference tools/scripts.py:202-237 applies after unscale)
     clip_grad_value: Optional[float] = None
     clip_max_norm: Optional[float] = None
+    # hard-freeze by name substring: update forced to exactly zero (the
+    # reference freezes via requires_grad=False; per-leaf lr=0 is not enough
+    # under schedules with a nonzero min_lr floor)
+    frozen_layer_name_list: Tuple[str, ...] = ()
 
 
 _EMBED_SCALE0_NAMES = ("position_encoding", "cls_token", "patch_embedding")
@@ -126,9 +130,12 @@ def per_leaf_hyperparams(cfg: OptimizerConfig, params):
             elif any(s in name for s in _EMBED_SCALE0_NAMES):
                 scale = layer_scales[0]
 
-        lr_scales.append(leaf_lr / cfg.lr * scale)
+        frozen = any(s in name for s in cfg.frozen_layer_name_list)
+        if frozen:
+            wd = 0.0
+        lr_scales.append(0.0 if frozen else leaf_lr / cfg.lr * scale)
         wds.append(wd)
-        table.append((name, leaf_lr, scale, wd))
+        table.append((name, 0.0 if frozen else leaf_lr, scale, wd))
 
     return (jax.tree_util.tree_unflatten(treedef, lr_scales),
             jax.tree_util.tree_unflatten(treedef, wds), table)
@@ -185,8 +192,10 @@ def build_optimizer(cfg: OptimizerConfig,
     def update_sched(updates, state, params=None):
         del params
         updates = jax.tree.map(
-            lambda g, s: -_per_leaf_lr(cfg, sched, steps_per_epoch, state.step, s
-                                       ) * g, updates, lr_scale_tree)
+            lambda g, s: jnp.where(
+                s == 0.0, jnp.zeros_like(g),
+                -_per_leaf_lr(cfg, sched, steps_per_epoch, state.step, s) * g),
+            updates, lr_scale_tree)
         return updates, ScaleByScheduleState(step=state.step + 1)
 
     chain.append(optax.GradientTransformation(init_sched, update_sched))

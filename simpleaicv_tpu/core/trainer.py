@@ -48,6 +48,7 @@ def optimizer_config_from_reference(opt_tuple) -> OptimizerConfig:
         block_name=p.get("block_name"),
         clip_grad_value=p.get("clip_grad_value"),
         clip_max_norm=p.get("clip_max_norm"),
+        frozen_layer_name_list=tuple(p.get("frozen_layer_name_list", ())),
     )
     return OptimizerConfig(**kwargs)
 

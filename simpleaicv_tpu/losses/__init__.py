@@ -14,7 +14,8 @@ from .text_detection import DBNetLoss  # noqa: F401
 from .text_recognition import CTCLoss, ACELoss  # noqa: F401
 from .interactive_segmentation import (SAMMultiLevelLoss,
                                        SAMMultiLevelIoUMaxLoss,
-                                       SAMDistillMSELoss)  # noqa: F401
+                                       SAMDistillMSELoss,
+                                       SAMDistillLoss)  # noqa: F401
 from .instance_segmentation import SOLOV2Loss  # noqa: F401
 from .yolact import YOLACTLoss  # noqa: F401
 from .detr import DETRLoss  # noqa: F401

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from ..core.registry import LOSSES
 
-__all__ = ["SAMMultiLevelLoss", "SAMMultiLevelIoUMaxLoss", "SAMDistillMSELoss"]
+__all__ = ["SAMMultiLevelLoss", "SAMMultiLevelIoUMaxLoss",
+           "SAMDistillMSELoss", "SAMDistillLoss"]
 
 
 def _per_level_losses(pred_masks, pred_ious, targets, alpha, gamma, smooth,
@@ -96,3 +97,48 @@ class SAMDistillMSELoss:
         diff = stu_feature.astype(jnp.float32) - \
             tea_feature.astype(jnp.float32)
         return jnp.mean(diff**2)
+
+
+@LOSSES.register()
+class SAMDistillLoss:
+    """Full-SAM distillation loss (reference distill_losses.py:27-170):
+    teacher masks binarized at mask_threshold, then per-mask-slot
+    focal (alpha*(1-exp(-bce))**gamma * bce, the reference's form) and
+    global-over-batch dice on the student logits, plus MSE on the iou
+    predictions; each term summed over mask slots and divided by batch."""
+
+    def __init__(self, alpha=0.8, gamma=2.0, smooth=1e-4,
+                 distill_focal_loss_weight=20.0, distill_dice_loss_weight=1.0,
+                 distill_iou_predict_loss_weight=1.0, mask_threshold=0.0):
+        self.alpha = alpha
+        self.gamma = gamma
+        self.smooth = smooth
+        self.w_focal = distill_focal_loss_weight
+        self.w_dice = distill_dice_loss_weight
+        self.w_iou = distill_iou_predict_loss_weight
+        self.mask_threshold = mask_threshold
+
+    def __call__(self, tea_inputs, stu_inputs):
+        tea_masks, tea_ious = tea_inputs
+        stu_masks, stu_ious = stu_inputs
+        b, n = stu_masks.shape[:2]
+        tea = (tea_masks.astype(jnp.float32) > self.mask_threshold
+               ).astype(jnp.float32).reshape(b, n, -1)
+        stu = stu_masks.astype(jnp.float32).reshape(b, n, -1)
+
+        bce = jnp.maximum(stu, 0) - stu * tea + jnp.log1p(jnp.exp(-jnp.abs(stu)))
+        focal = self.alpha * (1.0 - jnp.exp(-bce)) ** self.gamma * bce
+        focal_loss = jnp.sum(jnp.mean(focal, axis=(0, 2))) / b
+
+        p = jax.nn.sigmoid(stu)
+        inter = jnp.sum(p * tea, axis=(0, 2))          # per mask slot
+        dice = 1.0 - (2.0 * inter + self.smooth) / (
+            jnp.sum(p, axis=(0, 2)) + jnp.sum(tea, axis=(0, 2)) + self.smooth)
+        dice_loss = jnp.sum(dice) / b
+
+        iou_loss = jnp.sum((stu_ious.astype(jnp.float32) -
+                            tea_ious.astype(jnp.float32)) ** 2) / b
+
+        return {"distill_focal_loss": self.w_focal * focal_loss,
+                "distill_dice_loss": self.w_dice * dice_loss,
+                "distill_iou_predict_loss": self.w_iou * iou_loss}

@@ -20,7 +20,8 @@ from .prompt_encoder import PromptEncoder
 from .sam import SAM
 
 __all__ = ["LightSAM", "SAMFPN", "convformer_m36_light_sam",
-           "van_b3_light_sam", "SAMDistillEncoderModel"]
+           "van_b3_light_sam", "SAMDistillEncoderModel",
+           "SAMDistillModel"]
 
 
 class SAMFPN(nn.Module):
@@ -113,6 +114,25 @@ class SAMDistillEncoderModel(nn.Module):
         tea = jax.lax.stop_gradient(self.teacher.encode_image(images, False))
         stu = self.student.encode_image(images, train)
         return tea, stu
+
+
+class SAMDistillModel(nn.Module):
+    """Full-SAM distillation: frozen teacher SAM + trainable student
+    (SAM or LightSAM); both run the same image+prompts and return
+    ((tea_masks, tea_ious), (stu_masks, stu_ious)) for SAMDistillLoss
+    (reference distill_model.py:133-252)."""
+    teacher: nn.Module
+    student: nn.Module
+
+    def __call__(self, batch_images, batch_prompts,
+                 mask_out_idxs=(0, 1, 2, 3), train: bool = False):
+        tea_masks, tea_ious = self.teacher(batch_images, batch_prompts,
+                                           mask_out_idxs, False)
+        tea_masks = jax.lax.stop_gradient(tea_masks)
+        tea_ious = jax.lax.stop_gradient(tea_ious)
+        stu_masks, stu_ious = self.student(batch_images, batch_prompts,
+                                           mask_out_idxs, train)
+        return (tea_masks, tea_ious), (stu_masks, stu_ious)
 
 
 @MODELS.register()

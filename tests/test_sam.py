@@ -108,3 +108,47 @@ def test_error_region_point_sampling():
     pts2 = sample_error_region_points(pred, gt, full)
     np.testing.assert_allclose(np.asarray(pts2[:, 2]),
                                [[5, 4, 1], [5, 4, 1]])
+
+
+def test_sam_distill_loss_matches_torch_restatement():
+    """SAMDistillLoss vs a literal torch restatement of the reference's
+    per-slot focal / global dice / iou-MSE (distill_losses.py:27-170)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    import numpy as np
+    import jax.numpy as jnp
+    from simpleaicv_tpu.losses import SAMDistillLoss
+
+    rng = np.random.RandomState(0)
+    b, n, h, w = 2, 4, 16, 16
+    tea_masks = rng.randn(b, n, h, w).astype(np.float32)
+    stu_masks = rng.randn(b, n, h, w).astype(np.float32)
+    tea_ious = rng.rand(b, n).astype(np.float32)
+    stu_ious = rng.rand(b, n).astype(np.float32)
+
+    ours = SAMDistillLoss()((jnp.asarray(tea_masks), jnp.asarray(tea_ious)),
+                            (jnp.asarray(stu_masks), jnp.asarray(stu_ious)))
+
+    alpha, gamma, smooth = 0.8, 2.0, 1e-4
+    tm = (torch.tensor(tea_masks) > 0).float()
+    sm = torch.tensor(stu_masks)
+    focal_total = 0.0
+    dice_total = 0.0
+    for i in range(n):
+        s_i = sm[:, i].reshape(-1)
+        t_i = tm[:, i].reshape(-1)
+        bce = F.binary_cross_entropy_with_logits(s_i, t_i, reduction="none")
+        focal_total += (alpha * (1 - torch.exp(-bce))**gamma * bce
+                        ).mean().item()
+        p_i = torch.sigmoid(s_i)
+        inter = (p_i * t_i).sum()
+        dice_total += (1 - (2 * inter + smooth) /
+                       (p_i.sum() + t_i.sum() + smooth)).item()
+    iou_total = sum(
+        F.mse_loss(torch.tensor(stu_ious[:, i]), torch.tensor(tea_ious[:, i]),
+                   reduction="sum").item() for i in range(n))
+
+    assert abs(float(ours["distill_focal_loss"]) - 20 * focal_total / b) < 1e-3
+    assert abs(float(ours["distill_dice_loss"]) - dice_total / b) < 1e-4
+    assert abs(float(ours["distill_iou_predict_loss"]) - iou_total / b) < 1e-4

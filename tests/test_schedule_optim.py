@@ -93,3 +93,27 @@ def test_vit_layer_decay_scales():
     assert abs(scales["blocks_0"]["fc"]["kernel"] - expect[1]) < 1e-9
     assert abs(scales["blocks_1"]["fc"]["kernel"] - expect[2]) < 1e-9
     assert abs(scales["norm"]["scale"] - 1.0) < 1e-9
+
+
+def test_frozen_layer_updates_are_zero():
+    """frozen_layer_name_list forces exact-zero updates even under AdamW's
+    decoupled weight decay and a min_lr-floored cosine schedule."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from simpleaicv_tpu.core.optim import OptimizerConfig, build_optimizer
+    from simpleaicv_tpu.core.schedule import SchedulerConfig
+
+    params = {"teacher": {"w": jnp.ones((4, 4))},
+              "student": {"w": jnp.ones((4, 4))}}
+    cfg = OptimizerConfig(name="AdamW", lr=1e-3, weight_decay=1e-2,
+                          global_weight_decay=True,
+                          frozen_layer_name_list=("teacher",))
+    sched = SchedulerConfig(scheduler="CosineLR", lr=1e-3, epochs=10,
+                            min_lr=1e-6)
+    tx, table = build_optimizer(cfg, sched, 10, params)
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["teacher"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["student"]["w"]).max()) > 0.0
