@@ -16,3 +16,4 @@ from .text import TextDetection, TextRecognition  # noqa: F401
 from .sam_segmentation import SAMSegmentationDataset  # noqa: F401
 from .more_datasets import (Objects365Detection, SamaCocoDetection, ACCV2022Dataset)  # noqa: F401
 from .coco_instance import CocoInstanceSegmentation  # noqa: F401
+from .coco_semantic import CocoSemanticSegmentation  # noqa: F401
