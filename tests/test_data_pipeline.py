@@ -50,3 +50,50 @@ def test_augment_pipeline_shapes():
         assert out["image"].ndim == 3
     s = CenterCrop(resize=32)(Resize(resize=36)(dict(sample)))
     assert s["image"].shape == (32, 32, 3)
+
+
+def test_coco_semantic_segmentation_mask(tmp_path):
+    """CocoSemanticSegmentation paints instance polygons into a per-pixel
+    category map with later annotations overwriting, and reduce_zero_label
+    maps background to 255 / classes 1..K to 0..K-1 (reference
+    cocosemanticsegmentationdataset.py:138-170)."""
+    import json
+    import os
+    import numpy as np
+    import cv2
+    from simpleaicv_tpu.data.datasets import CocoSemanticSegmentation
+
+    root = tmp_path / "coco"
+    os.makedirs(root / "annotations")
+    os.makedirs(root / "val2017")
+    img = np.zeros((20, 30, 3), np.uint8)
+    cv2.imwrite(str(root / "val2017" / "000001.jpg"), img)
+    data = {
+        "categories": [{"id": 7, "name": "a"}, {"id": 9, "name": "b"}],
+        "images": [{"id": 1, "file_name": "000001.jpg",
+                    "height": 20, "width": 30}],
+        "annotations": [
+            # class a (label 0 -> painted value 1) covers left block
+            {"id": 1, "image_id": 1, "category_id": 7, "iscrowd": 0,
+             "bbox": [0, 0, 10, 10],
+             "segmentation": [[0, 0, 10, 0, 10, 10, 0, 10]]},
+            # class b (label 1 -> value 2) overlaps, painted later -> wins
+            {"id": 2, "image_id": 1, "category_id": 9, "iscrowd": 0,
+             "bbox": [5, 0, 10, 10],
+             "segmentation": [[5, 0, 15, 0, 15, 10, 5, 10]]},
+        ],
+    }
+    with open(root / "annotations" / "instances_val2017.json", "w") as f:
+        json.dump(data, f)
+
+    ds = CocoSemanticSegmentation(str(root), set_name="val2017")
+    mask = ds[0]["mask"]
+    assert mask[5, 2] == 1           # class a region
+    assert mask[5, 12] == 2          # class b region
+    assert mask[5, 8] == 2           # overlap: later annotation wins
+    assert mask[15, 25] == 0         # background
+
+    ds = CocoSemanticSegmentation(str(root), set_name="val2017",
+                                  reduce_zero_label=True)
+    mask = ds[0]["mask"]
+    assert mask[5, 2] == 0 and mask[5, 12] == 1 and mask[15, 25] == 255
