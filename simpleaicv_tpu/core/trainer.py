@@ -204,8 +204,12 @@ class Trainer:
 
     def shard(self, batch):
         def numeric(x):
-            return np.issubdtype(np.asarray(x).dtype, np.number) or \
-                np.issubdtype(np.asarray(x).dtype, np.bool_)
+            try:
+                arr = np.asarray(x)
+            except (ValueError, TypeError):
+                return False  # ragged host payloads (e.g. polygon lists)
+            return np.issubdtype(arr.dtype, np.number) or \
+                np.issubdtype(arr.dtype, np.bool_)
 
         if isinstance(batch, dict):
             # host-side payloads (e.g. raw text labels) stay off-device and
