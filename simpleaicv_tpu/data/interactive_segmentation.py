@@ -124,3 +124,50 @@ class FakeSAMSegmentationDataset:
         if self.transform is not None:
             sample = self.transform(sample)
         return sample
+
+
+class SAMMattingCollater:
+    """SAM-matting batches (parity: reference
+    simpleAICV/interactive_segmentation/common_matting.py — prompts sampled
+    from the alpha>0.5 foreground; alpha and the 0/128/255 trimap padded to
+    the square canvas):
+      image [B,S,S,3], alpha [B,S,S], trimap [B,S,S],
+      prompt_point [B,max_points,3], prompt_box [B,4]."""
+
+    def __init__(self, resize=1024, positive_point_num_range=(1, 9),
+                 max_points: int = 9, use_noise_bbox=True):
+        self.resize = resize
+        self.point_range = positive_point_num_range
+        self.max_points = max_points
+        self.use_noise_bbox = use_noise_bbox
+
+    def __call__(self, samples):
+        n = len(samples)
+        r = self.resize
+        images = np.zeros((n, r, r, 3), np.float32)
+        alphas = np.zeros((n, r, r), np.float32)
+        trimaps = np.zeros((n, r, r), np.float32)
+        points = np.full((n, self.max_points, 3), -1.0, np.float32)
+        boxes = np.zeros((n, 4), np.float32)
+
+        for i, s in enumerate(samples):
+            img = s["image"]
+            h, w = img.shape[:2]
+            images[i, :h, :w] = img if img.max() <= 1.5 else img / 255.0
+            alphas[i, :h, :w] = s["alpha"]
+            trimaps[i, :h, :w] = s["trimap"]
+            fg = alphas[i] > 0.5
+            ys, xs = np.nonzero(fg)
+            if len(ys) > 0:
+                k = random.randint(*self.point_range)
+                k = min(k, self.max_points, len(ys))
+                sel = np.random.choice(len(ys), k, replace=False)
+                points[i, :k, 0] = xs[sel]
+                points[i, :k, 1] = ys[sel]
+                points[i, :k, 2] = 1.0
+                box = np.array([xs.min(), ys.min(), xs.max(), ys.max()],
+                               np.float32)
+                boxes[i] = noise_bbox(box, r, r) if self.use_noise_bbox \
+                    else box
+        return {"image": images, "alpha": alphas, "trimap": trimaps,
+                "prompt_point": points, "prompt_box": boxes}
