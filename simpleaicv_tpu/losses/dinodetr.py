@@ -36,13 +36,18 @@ class DINODETRLoss:
 
     # ---- matching (focal-style class cost, reference :1406-1462) ----
     def _match(self, cls_pred, reg_pred, annotations):
-        p = jax.nn.sigmoid(cls_pred.astype(jnp.float32))
+        # clamps and epsilons follow the reference exactly
+        # (losses.py:1410-1432: sigmoid clamped to [1e-4, 1-1e-4], +1e-4 in
+        # the logs) so matching decisions are bit-comparable
+        p = jnp.clip(jax.nn.sigmoid(cls_pred.astype(jnp.float32)),
+                     1e-4, 1.0 - 1e-4)
+        reg_pred = jnp.clip(reg_pred, 1e-4, 1.0 - 1e-4)
         tgt_cls = jnp.clip(annotations[..., 4], 0, None).astype(jnp.int32)
         valid = annotations[..., 4] >= 0
 
-        pos_cost = self.alpha * ((1 - p)**self.gamma) * (-jnp.log(p + 1e-8))
+        pos_cost = self.alpha * ((1 - p)**self.gamma) * (-jnp.log(p + 1e-4))
         neg_cost = (1 - self.alpha) * (p**self.gamma) * \
-            (-jnp.log(1 - p + 1e-8))
+            (-jnp.log(1 - p + 1e-4))
         # [B,Q,M]
         idx = jnp.broadcast_to(tgt_cls[:, None, :, None],
                                (p.shape[0], p.shape[1], tgt_cls.shape[1], 1))
