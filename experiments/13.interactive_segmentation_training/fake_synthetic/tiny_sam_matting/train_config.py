@@ -21,10 +21,8 @@ class config:
         prompt_encoder_embedding_planes=64)
     model = SAMMatting(sam=_sam)
 
-    loss_list = ["GlobalTrimapCELoss", "GloabelTrimapIouLoss",
-                 "LocalAlphaLoss", "FusionAlphaLoss", "CompositionLoss"]
-    criterion_cfg = {name: (1.0, LOSSES.create(name)) for name in loss_list}
-    train_criterion = None
+    train_criterion = LOSSES.create("SAMMattingOneLevelLoss",
+                                    mask_threshold=0.5)
 
     train_dataset = FakeHumanMattingDataset(
         num_samples=16, image_hw=64,

@@ -24,11 +24,20 @@ class config:
 
     model = MODELS.create(network, image_size=input_image_size)
 
-    loss_list = ["GlobalTrimapCELoss", "GloabelTrimapIouLoss",
-                 "LocalAlphaLoss", "LocalLaplacianLoss", "FusionAlphaLoss",
-                 "FusionLaplacianLoss", "CompositionLoss"]
-    criterion_cfg = {name: (1.0, LOSSES.create(name)) for name in loss_list}
-    train_criterion = None
+    # reference 13.interactive_segmentation_training/human_matting/
+    # convformer_m36_sam_matting1/train_config.py:68-80: SAMMattingOneLevelLoss
+    # with unit weights, mask_threshold 0.5
+    train_criterion = LOSSES.create(
+        "SAMMattingOneLevelLoss",
+        global_pred_trimap_ce_loss_weight=1,
+        gloabel_pred_trimap_iou_loss_weight=1,
+        local_pred_alpha_loss_weight=1,
+        local_pred_laplacian_loss_weight=1,
+        fusion_pred_alpha_loss_weight=1,
+        fusion_pred_laplacian_loss_weight=1,
+        composition_loss_weight=1,
+        fused_pred_iou_predict_loss_weight=1,
+        mask_threshold=0.5)
 
     train_dataset = HumanMattingDataset(
         human_matting_dataset_path,

@@ -253,8 +253,9 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             loss = self.train_epoch(epoch)
             key_metric = None
-            if self.evaluate is not None and self.eval_step is not None \
-                    and self.test_loader is not None:
+            # first-class task-eval protocol: `evaluate` owns the pass and may
+            # ignore `eval_step` (e.g. detection decodes + COCOevals itself)
+            if self.evaluate is not None and self.test_loader is not None:
                 metrics = self.evaluate(self.eval_step, self.eval_params(),
                                         self.state.state_vars,
                                         self.test_loader, self.shard)

@@ -63,10 +63,15 @@ def make_inception_feature_fn(weights_path: Optional[str] = None):
     x0 = jnp.zeros((1, 299, 299, 3), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
     if weights_path:
-        from ..core.weight_convert import convert_torch_checkpoint
-        new_params, n = convert_torch_checkpoint(weights_path,
-                                                 variables["params"])
-        variables = {**variables, "params": new_params}
+        from ..core.converters import apply_converted, convert_torch_file
+        variables, n = apply_converted(
+            dict(variables), convert_torch_file(weights_path, "inception_v3"))
+        n_expected = len(jax.tree.leaves(variables["params"])) + \
+            len(jax.tree.leaves(variables.get("batch_stats", {})))
+        if n < n_expected:
+            raise ValueError(
+                f"inception weight convert loaded {n}/{n_expected} tensors "
+                f"from {weights_path}")
 
     @jax.jit
     def forward(images):

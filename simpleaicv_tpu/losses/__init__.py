@@ -12,6 +12,9 @@ from .matting import (GlobalTrimapCELoss, GloabelTrimapIouLoss,
                       FusionLaplacianLoss, CompositionLoss)  # noqa: F401
 from .text_detection import DBNetLoss  # noqa: F401
 from .text_recognition import CTCLoss, ACELoss  # noqa: F401
+from .sam_matting import (SAMMattingOneLevelLoss, SAMMattingMultiLevelLoss,
+                          SAMMattingMultiLevelIoUMaxLoss,
+                          SAMMattingMultiLevelAssignLoss)  # noqa: F401
 from .interactive_segmentation import (SAMMultiLevelLoss,
                                        SAMMultiLevelIoUMaxLoss,
                                        SAMDistillMSELoss,

@@ -102,6 +102,9 @@ class LightSAM(nn.Module):
             masks = (masks > self.mask_threshold).astype(jnp.float32)
         return masks, ious
 
+    # same decoder-resolution matting forward as SAM.forward_matting
+    forward_matting = SAM.forward_matting
+
 
 class SAMDistillEncoderModel(nn.Module):
     """Teacher SAM encoder (frozen) + student LightSAM encoder; forward

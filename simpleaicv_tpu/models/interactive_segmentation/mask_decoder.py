@@ -148,8 +148,13 @@ class MaskDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, image_embeddings, image_pe, sparse_prompt_embeddings,
-                 dense_prompt_embeddings, mask_out_idxs=(0, 1, 2, 3)):
-        """image_embeddings [B,H,W,C]; returns (masks [B,K,4h,4w], iou [B,K])."""
+                 dense_prompt_embeddings, mask_out_idxs=(0, 1, 2, 3),
+                 return_feats: bool = False):
+        """image_embeddings [B,H,W,C]; returns (masks [B,K,4h,4w], iou [B,K]).
+
+        ``return_feats`` additionally returns the upscaled mask feature
+        [B,4h,4w,C/8] (the reference MaskDecoderMatting's ``feat1``,
+        sam_matting1.py:375-415) for the matting fusion head."""
         n_tokens = self.num_multimask_outputs + 1
         iou_token = self.param("iou_token", nn.initializers.normal(1.0),
                                (1, self.inplanes), jnp.float32)
@@ -195,4 +200,6 @@ class MaskDecoder(nn.Module):
                        name="iou_prediction_head")(iou_token_out)
 
         idxs = jnp.asarray(mask_out_idxs)
+        if return_feats:
+            return masks[:, idxs], iou_pred[:, idxs], upscaled
         return masks[:, idxs], iou_pred[:, idxs]

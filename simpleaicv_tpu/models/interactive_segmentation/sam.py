@@ -95,6 +95,25 @@ class SAM(nn.Module):
             masks = (masks > self.mask_threshold).astype(jnp.float32)
         return masks, iou_preds
 
+    def forward_matting(self, batch_images, batch_prompts,
+                        train: bool = False):
+        """Decoder-resolution forward for the matting fusion head (reference
+        sam_matting1.py:375-415): returns (masks [B,4,S/4,S/4], iou [B,4],
+        feat3 = image embedding [B,S/16,S/16,C], feat1 = upscaled mask
+        feature [B,S/4,S/4,C/8])."""
+        image_embeddings = self.encode_image(batch_images, train)
+        sparse, dense = self.prompt_encoder(
+            points=batch_prompts.get("prompt_point"),
+            boxes=batch_prompts.get("prompt_box"),
+            masks=batch_prompts.get("prompt_mask"))
+        if self.frozen_prompt_encoder:
+            sparse = jax.lax.stop_gradient(sparse)
+            dense = jax.lax.stop_gradient(dense)
+        masks, iou_preds, upscaled = self.mask_decoder(
+            image_embeddings, self.prompt_encoder.get_dense_pe(), sparse,
+            dense, mask_out_idxs=(0, 1, 2, 3), return_feats=True)
+        return masks, iou_preds, image_embeddings, upscaled
+
 
 def _sam(defaults, **kwargs):
     cfg = dict(defaults)

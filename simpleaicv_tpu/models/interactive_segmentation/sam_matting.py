@@ -1,84 +1,171 @@
-"""SAM-matting (parity: reference
+"""SAM-matting models (parity: reference
 simpleAICV/interactive_segmentation/models/segment_anything_matting/
 sam_matting1.py:309 / sam_matting2.py:307 and the light_segment_anything_
-matting variants — SAM whose decoder output feeds matting heads producing
-(global trimap 3ch, local alpha 1ch, fused alpha), mirroring PFANMatting's
-collaborative fusion).
+matting variants).
 
-sam_matting1: heads consume the upscaled decoder embedding;
-sam_matting2: heads additionally see the (sigmoided) mask logits.
+Structure mirrors the reference FUSION head (sam_matting1.py:16-306):
+  inputs  masks [B,K,S/4,S/4] (decoder-res mask logits),
+          feat3 = image embedding [B,S/16,S/16,256],
+          feat1 = decoder upscaled feature [B,S/4,S/4,32]
+  global path: reduce(feat3)->up to S/4, reduce(feat1), cat with masks,
+          combine/reduce convs, two 2x upsample convs to full res,
+          3-channel sigmoid trimap pred
+  local path: same with the global reduced feats concatenated in,
+          1-channel sigmoid alpha pred
+  fused = collaborative matting (argmax trimap gates local alpha).
+
+sam_matting1: ONE fusion head sees all 4 mask levels -> one-level preds,
+  iou pred = sigmoid(mean over levels) [B,1]  (sam_matting1.py:411-413).
+sam_matting2: one fusion head PER level -> [B,4,...] preds,
+  iou pred = sigmoid(iou) [B,4]               (sam_matting2.py:407-426).
+
+TPU-first: NHWC convs (bf16 compute / f32 params), bilinear resize +
+conv instead of interpolate+conv pairs, level axis static.
 """
 
 from __future__ import annotations
-
-from typing import Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from ...core.registry import MODELS
-from ..pfan import PFANMatting
-from .image_encoder import LayerNormChannelsLast
 from .sam import SAM
 from .light_sam import LightSAM
 
-__all__ = ["SAMMatting", "sam_b_matting1", "sam_l_matting1",
-           "convformer_m36_sam_matting1"]
+__all__ = ["SAMMatting", "FusionHead",
+           "sam_b_matting1", "sam_l_matting1", "convformer_m36_sam_matting1",
+           "sam_b_matting2", "sam_l_matting2", "convformer_m36_sam_matting2"]
 
 
-class MattingHeads(nn.Module):
-    """Trimap (3ch) + alpha (1ch) heads over the upscaled SAM mask feature."""
+def _conv(x, planes, name, kernel=3):
+    pad = (kernel - 1) // 2
+    return nn.Conv(planes, (kernel, kernel), padding=[(pad, pad), (pad, pad)],
+                   dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name)(x)
+
+
+def _up2x(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "bilinear")
+
+
+class FusionHead(nn.Module):
+    """Reference FUSION decoder (sam_matting1.py:16-306), NHWC."""
+    planes: int = 32
 
     @nn.compact
-    def __call__(self, feat, mask_logit):
-        x = jnp.concatenate([feat, mask_logit], axis=-1)
-        x = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)],
-                    dtype=jnp.float32, name="conv1")(x)
-        x = nn.gelu(LayerNormChannelsLast(name="ln1")(x), approximate=False)
-        g = nn.sigmoid(nn.Conv(3, (3, 3), padding=[(1, 1), (1, 1)],
-                               dtype=jnp.float32, name="global_pred")(x))
-        l = nn.sigmoid(nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)],
-                               dtype=jnp.float32, name="local_pred")(x))
-        return g, l
+    def __call__(self, masks, feat3, feat1):
+        # masks [B,h,w,K]; feat3 [B,h/4,w/4,256]; feat1 [B,h,w,32]
+        p = self.planes
+        h, w = feat1.shape[1], feat1.shape[2]
+
+        f3g = _conv(feat3, p, "global_feat3_reduce")
+        f3g = jax.image.resize(f3g, (f3g.shape[0], h, w, p), "bilinear")
+        f1g = nn.relu(_conv(feat1, p, "global_feat1_reduce"))
+        g = jnp.concatenate([f1g, f3g, masks.astype(jnp.bfloat16)], axis=-1)
+        g = nn.relu(_conv(g, 2 * p, "global_combine"))
+        g = nn.relu(_conv(g, p, "global_reduce"))
+        g = nn.relu(_conv(_up2x(g), p, "global_up1"))
+        g = nn.relu(_conv(g, p, "global_up2"))
+        g = nn.relu(_conv(_up2x(g), p, "global_up3"))
+        global_pred = nn.sigmoid(
+            _conv(g, 3, "global_pred").astype(jnp.float32))
+
+        f3l = _conv(feat3, p, "local_feat3_reduce")
+        f3l = jax.image.resize(f3l, (f3l.shape[0], h, w, p), "bilinear")
+        f1l = nn.relu(_conv(feat1, p, "local_feat1_reduce"))
+        l = jnp.concatenate([f1l, f3l, f1g, f3g,
+                             masks.astype(jnp.bfloat16)], axis=-1)
+        l = nn.relu(_conv(l, 2 * p, "local_combine"))
+        l = nn.relu(_conv(l, p, "local_reduce"))
+        l = nn.relu(_conv(_up2x(l), p, "local_up1"))
+        l = nn.relu(_conv(l, p, "local_up2"))
+        l = nn.relu(_conv(_up2x(l), p, "local_up3"))
+        local_pred = nn.sigmoid(_conv(l, 1, "local_pred").astype(jnp.float32))
+
+        return global_pred, local_pred        # [B,4h,4w,3], [B,4h,4w,1]
+
+
+def collaborative_matting(global_pred, local_pred):
+    """fused = local alpha where trimap argmax says 'local', 1 where
+    'global/fg', 0 where bg (reference sam_matting1.py:417-437)."""
+    max_cls = jnp.argmax(global_pred, axis=-1)[..., None]   # [...,1]
+    trimap_mask = (max_cls == 1).astype(jnp.float32)
+    fg_mask = (max_cls == 2).astype(jnp.float32)
+    return local_pred * trimap_mask + fg_mask
 
 
 class SAMMatting(nn.Module):
-    """SAM (or LightSAM) backbone + matting heads on the best mask output."""
+    """SAM/LightSAM + fusion matting head(s).
+
+    ``multi_level=False`` == reference sam_matting1 (one head over all mask
+    levels, [B,h,w,c] preds + [B,1] iou); ``multi_level=True`` ==
+    sam_matting2 (one head per level, [B,4,h,w,c] preds + [B,4] iou).
+    """
     sam: nn.Module
+    multi_level: bool = False
 
     @nn.compact
     def __call__(self, batch_images, batch_prompts, train: bool = False):
-        masks, ious = self.sam(batch_images, batch_prompts,
-                               mask_out_idxs=(0,), train=train)
-        mask_logit = masks[:, 0][..., None]                # [B,H,W,1]
-        feat = jax.image.resize(
-            batch_images, mask_logit.shape[:3] + (batch_images.shape[-1],),
-            "bilinear")
-        g, l = MattingHeads(name="matting_heads")(feat, mask_logit)
-        fused = PFANMatting.collaborative_matting(g, l)
-        return g, l, fused, ious
+        masks, ious, feat3, feat1 = self.sam.forward_matting(
+            batch_images, batch_prompts, train)
+        masks_nhwc = jnp.transpose(masks, (0, 2, 3, 1))     # [B,h,w,4]
+
+        if not self.multi_level:
+            g, l = FusionHead(name="fusion_pred")(masks_nhwc, feat3, feat1)
+            fused = collaborative_matting(g, l)
+            iou = nn.sigmoid(jnp.mean(ious.astype(jnp.float32), axis=1,
+                                      keepdims=True))       # [B,1]
+            return g, l, fused, iou
+
+        gs, ls = [], []
+        for i in range(masks_nhwc.shape[-1]):
+            g, l = FusionHead(name=f"fusion_pred_{i}")(
+                masks_nhwc[..., i:i + 1], feat3, feat1)
+            gs.append(g)
+            ls.append(l)
+        g = jnp.stack(gs, axis=1)                           # [B,4,H,W,3]
+        l = jnp.stack(ls, axis=1)
+        fused = collaborative_matting(g, l)
+        iou = nn.sigmoid(ious.astype(jnp.float32))          # [B,4]
+        return g, l, fused, iou
+
+
+def _vit_sam(planes, blocks, heads, global_idx, **kwargs):
+    return SAM(image_encoder_embedding_planes=planes,
+               image_encoder_block_nums=blocks,
+               image_encoder_head_nums=heads,
+               image_encoder_global_attn_indexes=global_idx, **kwargs)
 
 
 @MODELS.register()
 def sam_b_matting1(**kwargs):
-    return SAMMatting(sam=SAM(image_encoder_embedding_planes=768,
-                              image_encoder_block_nums=12,
-                              image_encoder_head_nums=12,
-                              image_encoder_global_attn_indexes=(2, 5, 8, 11),
-                              **kwargs))
+    return SAMMatting(sam=_vit_sam(768, 12, 12, (2, 5, 8, 11), **kwargs))
 
 
 @MODELS.register()
 def sam_l_matting1(**kwargs):
-    return SAMMatting(sam=SAM(image_encoder_embedding_planes=1024,
-                              image_encoder_block_nums=24,
-                              image_encoder_head_nums=16,
-                              image_encoder_global_attn_indexes=(5, 11, 17,
-                                                                 23),
-                              **kwargs))
+    return SAMMatting(sam=_vit_sam(1024, 24, 16, (5, 11, 17, 23), **kwargs))
 
 
 @MODELS.register()
 def convformer_m36_sam_matting1(**kwargs):
     return SAMMatting(sam=LightSAM(backbone_type="convformer_m36", **kwargs))
+
+
+@MODELS.register()
+def sam_b_matting2(**kwargs):
+    return SAMMatting(sam=_vit_sam(768, 12, 12, (2, 5, 8, 11), **kwargs),
+                      multi_level=True)
+
+
+@MODELS.register()
+def sam_l_matting2(**kwargs):
+    return SAMMatting(sam=_vit_sam(1024, 24, 16, (5, 11, 17, 23), **kwargs),
+                      multi_level=True)
+
+
+@MODELS.register()
+def convformer_m36_sam_matting2(**kwargs):
+    return SAMMatting(sam=LightSAM(backbone_type="convformer_m36", **kwargs),
+                      multi_level=True)

@@ -32,16 +32,13 @@ def main():
                                        config.decoder, loader,
                                        config.num_classes)
 
+    has_eval = getattr(config, "test_dataset", None) is not None and \
+        getattr(config, "decoder", None) is not None
     trainer = Trainer(config, args.work_dir,
                       make_loss_fn=detection.make_loss_fn,
                       make_eval_fn=None,
-                      evaluate=None,
+                      evaluate=evaluate if has_eval else None,
                       init_batch=init_batch)
-    # detection eval needs the decoder; wire it manually
-    if getattr(config, "test_dataset", None) is not None and \
-            getattr(config, "decoder", None) is not None:
-        trainer.evaluate = evaluate
-        trainer.eval_step = lambda *a, **k: None
     trainer.run()
 
 
