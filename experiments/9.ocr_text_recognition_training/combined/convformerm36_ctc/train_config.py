@@ -2,10 +2,10 @@
 9.ocr_text_recognition_training/convformerm36_ctc_model/train_config.py —
 32-high keep-ratio canvases, AdamW 1e-4, 50 epochs, bs 512, 12k-char table).
 
-The reference ships its char set as a generated python file
-(char_sets/final_char_table.py); here the table is loaded from
-``<dataset_root>/char_table.txt`` (one char per line) with an ASCII fallback
-so the config imports without the dataset present."""
+Char set: the frozen Unicode-block table (data/char_table.py — superset of
+the reference's char_sets/final_char_table.py), so CTC class indices are
+dataset-independent and checkpoints stay compatible across subset changes.
+A ``<dataset_root>/char_table.txt`` (one char per line) overrides it."""
 
 import os
 import sys
@@ -15,6 +15,7 @@ sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)),
 from path import text_recognition_dataset_path  # noqa: E402
 
 from simpleaicv_tpu.core.registry import LOSSES
+from simpleaicv_tpu.data.char_table import final_char_table
 from simpleaicv_tpu.data.datasets.text import TextRecognition
 from simpleaicv_tpu.data.text_recognition import (
     CTCTextLabelConverter, KeepRatioResizeTextRecognitionCollater)
@@ -26,7 +27,7 @@ def _load_char_table():
     if os.path.exists(path):
         with open(path, encoding="utf-8") as f:
             return [line.rstrip("\n") for line in f if line.rstrip("\n")]
-    return [chr(c) for c in range(32, 127)]  # ASCII fallback
+    return final_char_table()
 
 
 class config:

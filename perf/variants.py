@@ -26,6 +26,7 @@ def build(variant):
         common.set_bn_compute_dtype(jnp.bfloat16)
     else:
         common.set_bn_compute_dtype(jnp.float32)
+    common.set_bn_stats_barrier(variant == "bn_barrier")
 
     from simpleaicv_tpu.core.engine import (EngineConfig, create_train_state,
                                             make_train_step)

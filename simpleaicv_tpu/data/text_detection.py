@@ -148,9 +148,12 @@ class FakeTextDetectionDataset:
 
 class DBNetDecoder:
     """Host-side decode (parity: reference
-    simpleAICV/text_detection/decode.py:19-142): threshold prob map, find
-    contours, unclip by DB offset (morphological dilate, see module note),
-    score by mean prob inside the box."""
+    simpleAICV/text_detection/decode.py:19-162): threshold prob map, find
+    contours, classify line vs curve text by contour-area / min-rect-area
+    ratio, unclip by the DB offset D = A*ratio/L via geometric round-join
+    polygon offsetting (ops/polygon.py — the pyclipper JT_ROUND equivalent),
+    clip to the image rectangle, min-rect for line text / polygon for curve
+    text, score by mean prob inside the contour."""
 
     def __init__(self, use_morph_open=False, hard_border_threshold=None,
                  box_score_threshold=0.5, min_area_size=9,
@@ -161,39 +164,60 @@ class DBNetDecoder:
         self.min_area_size = min_area_size
         self.max_box_num = max_box_num
         self.min_box_size = min_box_size
-        self.expand_ratio = line_text_expand_ratio
+        self.rectangle_similarity = rectangle_similarity
+        self.line_text_expand_ratio = line_text_expand_ratio
+        self.curve_text_expand_ratio = curve_text_expand_ratio
         self.prob_threshold = hard_border_threshold or 0.3
 
     def __call__(self, preds, sizes=None):
-        """preds: [B,H,W,2] numpy -> list of (boxes [K,4,2], scores [K])."""
+        """preds: [B,H,W,2] numpy -> list of (boxes, scores); ``boxes`` is a
+        list of [K_i,2] float32 polygons (4-point for line text, sampled
+        round-join polygons for curve text, reference decode.py:119-162)."""
+        from ..ops.polygon import (clip_polygon_to_rect, offset_polygon,
+                                   unclip_distance)
         preds = np.asarray(preds)
         results = []
         for i in range(preds.shape[0]):
             prob = preds[i, :, :, 0]
+            h, w = prob.shape
             binary = (prob > self.prob_threshold).astype(np.uint8)
             contours, _ = cv2.findContours(binary, cv2.RETR_LIST,
                                            cv2.CHAIN_APPROX_SIMPLE)
             boxes, scores = [], []
             for cnt in contours[:self.max_box_num]:
-                if cv2.contourArea(cnt) < self.min_area_size:
+                area = cv2.contourArea(cnt)
+                if area < self.min_area_size:
                     continue
                 mask = np.zeros_like(binary)
                 cv2.drawContours(mask, [cnt], -1, 1, -1)
                 score = float((prob * mask).sum() / max(mask.sum(), 1))
                 if score < self.box_score_threshold:
                     continue
-                d = _poly_offset_distance(cnt.reshape(-1, 2),
-                                          1.0 / self.expand_ratio)
-                grown = cv2.dilate(mask, _disk(max(d, 1)))
-                g_cnts, _ = cv2.findContours(grown, cv2.RETR_EXTERNAL,
-                                             cv2.CHAIN_APPROX_SIMPLE)
-                if not g_cnts:
+                rect0 = cv2.minAreaRect(cnt)
+                enclose_area = rect0[1][0] * rect0[1][1]
+                if enclose_area < 1:
                     continue
-                rect = cv2.minAreaRect(max(g_cnts, key=cv2.contourArea))
+                is_curve = area / enclose_area < self.rectangle_similarity
+                poly = cnt.reshape(-1, 2).astype(np.float32)
+                if is_curve:
+                    eps = 1e-3 * cv2.arcLength(cnt, True)
+                    poly = cv2.approxPolyDP(cnt, eps, True).reshape(-1, 2)
+                if poly.shape[0] < 4:
+                    continue
+                ratio = (self.curve_text_expand_ratio if is_curve
+                         else self.line_text_expand_ratio)
+                d = unclip_distance(poly, ratio)
+                grown = offset_polygon(poly, max(d, 1e-3))
+                grown = clip_polygon_to_rect(grown, w, h)
+                if grown.shape[0] < 4:
+                    continue
+                rect = cv2.minAreaRect(grown.reshape(-1, 1, 2))
                 if min(rect[1]) < self.min_box_size:
                     continue
-                boxes.append(cv2.boxPoints(rect))
+                if is_curve:
+                    boxes.append(grown.astype(np.float32))
+                else:
+                    boxes.append(cv2.boxPoints(rect).astype(np.float32))
                 scores.append(score)
-            results.append((np.asarray(boxes, np.float32).reshape(-1, 4, 2),
-                            np.asarray(scores, np.float32)))
+            results.append((boxes, np.asarray(scores, np.float32)))
         return results

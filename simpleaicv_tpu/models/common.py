@@ -27,10 +27,21 @@ Dtype = Any
 # path. Flip with set_bn_compute_dtype() before model construction.
 _BN_COMPUTE_DTYPE = jnp.float32
 
+# When True, an optimization_barrier is inserted between each conv and its
+# BatchNorm so XLA emits the conv as a pure MXU op and the BN statistics as a
+# separate (bandwidth-rate) reduce pass, instead of one conv+reduce fusion
+# (measured ~2x slower than the two parts separately on v5e).
+_BN_STATS_BARRIER = False
+
 
 def set_bn_compute_dtype(dtype):
     global _BN_COMPUTE_DTYPE
     _BN_COMPUTE_DTYPE = dtype
+
+
+def set_bn_stats_barrier(enabled: bool):
+    global _BN_STATS_BARRIER
+    _BN_STATS_BARRIER = enabled
 
 
 class ConvBnAct(nn.Module):
@@ -57,6 +68,8 @@ class ConvBnAct(nn.Module):
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="conv")(x)
         if self.has_bn:
+            if _BN_STATS_BARRIER:
+                x = jax.lax.optimization_barrier(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=_BN_COMPUTE_DTYPE,
                              param_dtype=jnp.float32, name="bn")(x)

@@ -76,6 +76,7 @@ def add_decomposed_rel_pos(attn, q, rel_pos_h, rel_pos_w, q_size, k_size):
 class RelPosAttention(nn.Module):
     head_nums: int
     input_size: Tuple[int, int]
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -88,19 +89,36 @@ class RelPosAttention(nn.Module):
                                                    h * w, head_dim)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        attn = jnp.einsum("bnd,bmd->bnm", q * (head_dim**-0.5), k,
-                          preferred_element_type=jnp.float32)
         rel_pos_h = self.param("rel_pos_h", nn.initializers.zeros,
                                (2 * self.input_size[0] - 1, head_dim),
                                jnp.float32)
         rel_pos_w = self.param("rel_pos_w", nn.initializers.zeros,
                                (2 * self.input_size[1] - 1, head_dim),
                                jnp.float32)
-        attn = add_decomposed_rel_pos(attn, q.astype(jnp.float32), rel_pos_h,
-                                      rel_pos_w, (h, w), (h, w))
-        attn = jax.nn.softmax(attn, axis=-1).astype(jnp.bfloat16)
-        out = jnp.einsum("bnm,bmd->bnd", attn, v,
-                         preferred_element_type=jnp.float32)
+
+        n = h * w
+        if self.use_flash_attention and n % 128 == 0:
+            # decomposed bias tables, never the [N,N] matrix: the Pallas
+            # kernel walks the key grid row by row (ops/flash_attention.py)
+            from ...ops.flash_attention import flash_attention_relpos
+            rh = get_rel_pos(h, h, rel_pos_h)
+            rw = get_rel_pos(w, w, rel_pos_w)
+            r_q = q.astype(jnp.float32).reshape(-1, h, w, head_dim)
+            rel_h = jnp.einsum("bhwc,hkc->bhwk", r_q, rh,
+                               preferred_element_type=jnp.float32)
+            rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw,
+                               preferred_element_type=jnp.float32)
+            out = flash_attention_relpos(
+                q, k, v, rel_h.reshape(-1, n, h), rel_w.reshape(-1, n, w))
+        else:
+            attn = jnp.einsum("bnd,bmd->bnm", q * (head_dim**-0.5), k,
+                              preferred_element_type=jnp.float32)
+            attn = add_decomposed_rel_pos(attn, q.astype(jnp.float32),
+                                          rel_pos_h, rel_pos_w, (h, w),
+                                          (h, w))
+            attn = jax.nn.softmax(attn, axis=-1).astype(jnp.bfloat16)
+            out = jnp.einsum("bnm,bmd->bnd", attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(b, self.head_nums, h, w, head_dim)
         out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, c)
         return nn.Dense(c, dtype=jnp.bfloat16, param_dtype=jnp.float32,
@@ -112,6 +130,7 @@ class EncoderBlock(nn.Module):
     mlp_ratio: float = 4.0
     input_size: Tuple[int, int] = (64, 64)
     window_size: int = 0
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -125,7 +144,8 @@ class EncoderBlock(nn.Module):
             attn_size = (self.window_size, self.window_size)
         else:
             attn_size = self.input_size
-        h = RelPosAttention(self.head_nums, attn_size, name="attn")(h)
+        h = RelPosAttention(self.head_nums, attn_size,
+                            self.use_flash_attention, name="attn")(h)
         if self.window_size > 0:
             h = window_unpartition(h, self.window_size, pad_hw, (hh, ww))
         x = shortcut + h.astype(shortcut.dtype)
@@ -167,6 +187,7 @@ class ViTImageEncoder(nn.Module):
     window_size: int = 0
     global_attn_indexes: Sequence[int] = ()
     use_gradient_checkpoint: bool = False
+    use_flash_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -187,6 +208,7 @@ class ViTImageEncoder(nn.Module):
             ws = (self.window_size if i not in self.global_attn_indexes
                   else 0)
             x = block_cls(self.head_nums, self.mlp_ratio, (g, g), ws,
+                          self.use_flash_attention,
                           name=f"blocks_{i}")(x, train)
 
         x = nn.Conv(self.out_planes, (1, 1), use_bias=False,

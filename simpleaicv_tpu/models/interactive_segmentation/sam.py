@@ -37,6 +37,7 @@ class SAM(nn.Module):
     prompt_encoder_mask_inter_planes: int = 16
     mask_decoder_num_multimask_outputs: int = 3
     use_gradient_checkpoint: bool = False
+    use_flash_attention: bool = False
     frozen_image_encoder: bool = False
     frozen_prompt_encoder: bool = False
     frozen_mask_decoder: bool = False
@@ -54,7 +55,8 @@ class SAM(nn.Module):
             out_planes=self.prompt_encoder_embedding_planes,
             window_size=self.image_encoder_window_size,
             global_attn_indexes=self.image_encoder_global_attn_indexes,
-            use_gradient_checkpoint=self.use_gradient_checkpoint)
+            use_gradient_checkpoint=self.use_gradient_checkpoint,
+            use_flash_attention=self.use_flash_attention)
         self.prompt_encoder = PromptEncoder(
             image_size=self.image_size, patch_size=self.patch_size,
             embedding_planes=self.prompt_encoder_embedding_planes,

@@ -1,10 +1,18 @@
-"""Flash attention as a Pallas TPU kernel.
+"""Flash attention as Pallas TPU kernels, forward + custom-VJP backward.
 
 The reference scales attention architecturally (SAM windowed attention with 4
 global layers, optional xformers memory-efficient attention per its ReadMe env
 notes — SURVEY.md §5); the TPU-native answer is an online-softmax blocked
 kernel: O(N) memory, softmax fused with both matmuls on the MXU, f32
 accumulators over bf16 operands.
+
+Backward follows the FlashAttention-2 recipe: the forward saves the
+row-logsumexp; the backward recomputes probabilities blockwise
+(p = exp(s - lse)) and accumulates
+    dv += p^T dO
+    ds  = p * (dO v^T - delta),   delta = rowsum(dO * o)
+    dq += ds k * scale,   dk += ds^T q * scale
+as two kernels (dq over q-blocks; dk/dv over k-blocks).
 
 Used by the ViT backbone / SAM global-attention layers when
 ``use_flash_attention`` is set; the einsum path remains the reference
@@ -18,13 +26,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k: int,
+                scale: float):
     """Grid: (batch*heads, num_q_blocks). K/V for this (b,h) are fully
     resident in VMEM; loop over K blocks with online softmax."""
     q = q_ref[...].astype(jnp.float32) * scale      # [Bq, d]
@@ -50,6 +58,146 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
             jnp.zeros((q.shape[0], 1), jnp.float32))
     acc, m, l = jax.lax.fori_loop(0, num_kb, body, init)
     o_ref[...] = (acc / l).astype(o_ref.dtype)
+    lse_ref[...] = (m + jnp.log(l))[:, 0]
+
+
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *,
+               block_k: int, scale: float):
+    """Grid: (batch*heads, num_q_blocks)."""
+    q = q_ref[...].astype(jnp.float32) * scale
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...][:, None]
+    delta = delta_ref[...][:, None]
+    n_k = k_ref.shape[0]
+    num_kb = n_k // block_k
+
+    def body(i, dq):
+        k = k_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq = jax.lax.fori_loop(
+        0, num_kb, body, jnp.zeros((q.shape[0], q.shape[1]), jnp.float32))
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref,
+                dv_ref, *, block_q: int, scale: float):
+    """Grid: (batch*heads, num_k_blocks)."""
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    n_q = q_ref.shape[0]
+    num_qb = n_q // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[pl.ds(i * block_q, block_q)][:, None]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [Bq, Bk]
+        p = jnp.exp(s - lse)
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    d = k.shape[-1]
+    dk, dv = jax.lax.fori_loop(
+        0, num_qb, body, (jnp.zeros((k.shape[0], d), jnp.float32),
+                          jnp.zeros((k.shape[0], d), jnp.float32)))
+    # q was pre-scaled inside the loop, so dk already carries the scale
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _fwd_call(q, k, v, block_q, block_k, interpret):
+    bh, n, d = q.shape
+    scale = d**-0.5
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=block_k, scale=scale),
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_core(q, k, v, block_q, block_k, interpret):
+    o, _ = _fwd_call(q, k, v, block_q, block_k, interpret)
+    return o
+
+
+def _flash_core_fwd(q, k, v, block_q, block_k, interpret):
+    o, lse = _fwd_call(q, k, v, block_q, block_k, interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_core_bwd(block_q, block_k, interpret, res, do):
+    q, k, v, o, lse = res
+    bh, n, d = q.shape
+    scale = d**-0.5
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, block_k=block_k, scale=scale),
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q), lambda i, j: (i, j)),
+            pl.BlockSpec((None, block_q), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, block_q=block_q, scale=scale),
+        grid=(bh, n // block_k),
+        in_specs=[
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n), lambda i, j: (i, 0)),
+            pl.BlockSpec((None, n), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_k, d), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, do, lse, delta)
+
+    return dq, dk, dv
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 @functools.partial(jax.jit,
@@ -58,31 +206,19 @@ def flash_attention(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K,
                     interpret: bool | None = None):
     """q/k/v: [B, H, N, d] -> [B, H, N, d]. N must be a multiple of the block
-    sizes (pad beforehand; ViT/SAM token counts are static)."""
+    sizes (pad beforehand; ViT/SAM token counts are static). Differentiable
+    (custom VJP, FlashAttention-2 backward)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, h, n, d = q.shape
     block_q = min(block_q, n)
     block_k = min(block_k, n)
     assert n % block_q == 0 and n % block_k == 0, (n, block_q, block_k)
-    scale = d**-0.5
 
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, n, d)
     vf = v.reshape(b * h, n, d)
-
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
-        grid=(b * h, n // block_q),
-        in_specs=[
-            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf)
+    out = _flash_core(qf, kf, vf, block_q, block_k, interpret)
     return out.reshape(b, h, n, d)
 
 
@@ -94,3 +230,235 @@ def reference_attention(q, k, v):
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhnm,bhmd->bhnd", p,
                       v.astype(jnp.float32)).astype(q.dtype)
+
+
+# ---------------- decomposed-rel-pos flash attention (SAM) ----------------
+#
+# SAM's ViT encoder adds a decomposed relative-position bias
+#   attn[q, kh, kw] += rel_h[q, kh] + rel_w[q, kw]
+# (reference image_encoder.py:82-147). With block_k = k_w, the k-blocks walk
+# the key grid row by row, so the bias block for (q-block, row j) is
+#   rel_h[qblock, j] broadcast + rel_w[qblock, :]
+# — no [N,N] bias is ever materialized. The VJP returns d(rel_h)/d(rel_w)
+# as in-kernel row/column sums of ds; the outer einsums that build
+# rel_h/rel_w from the learned tables stay in XLA and autodiff normally.
+
+
+def _relpos_fwd_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, lse_ref,
+                       *, k_w: int, scale: float):
+    q = q_ref[...].astype(jnp.float32) * scale
+    rw = rw_ref[...].astype(jnp.float32)            # [Bq, Kw]
+    num_rows = rh_ref.shape[-1]
+
+    def body(j, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[pl.ds(j * k_w, k_w), :].astype(jnp.float32)
+        v = v_ref[pl.ds(j * k_w, k_w), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = s + rh_ref[:, j][:, None].astype(jnp.float32) + rw
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    d = q_ref.shape[-1]
+    init = (jnp.zeros((q.shape[0], d), jnp.float32),
+            jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32),
+            jnp.zeros((q.shape[0], 1), jnp.float32))
+    acc, m, l = jax.lax.fori_loop(0, num_rows, body, init)
+    o_ref[...] = (acc / l).astype(o_ref.dtype)
+    lse_ref[...] = (m + jnp.log(l))[:, 0]
+
+
+def _relpos_dq_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
+                      delta_ref, dq_ref, drh_ref, drw_ref, *, k_w: int,
+                      scale: float):
+    q = q_ref[...].astype(jnp.float32) * scale
+    rw = rw_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+    lse = lse_ref[...][:, None]
+    delta = delta_ref[...][:, None]
+    num_rows = rh_ref.shape[-1]
+    bq, d = q.shape
+
+    def body(j, carry):
+        dq, drh, drw = carry
+        k = k_ref[pl.ds(j * k_w, k_w), :].astype(jnp.float32)
+        v = v_ref[pl.ds(j * k_w, k_w), :].astype(jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = s + rh_ref[:, j][:, None].astype(jnp.float32) + rw
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dq = dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        row_sum = jnp.sum(ds, axis=-1)              # [Bq]
+        drh = drh + row_sum[:, None] * (jax.lax.broadcasted_iota(
+            jnp.int32, (bq, num_rows), 1) == j).astype(jnp.float32)
+        drw = drw + ds
+        return dq, drh, drw
+
+    init = (jnp.zeros((bq, d), jnp.float32),
+            jnp.zeros((bq, num_rows), jnp.float32),
+            jnp.zeros((bq, k_w), jnp.float32))
+    dq, drh, drw = jax.lax.fori_loop(0, num_rows, body, init)
+    dq_ref[...] = (dq * scale).astype(dq_ref.dtype)
+    drh_ref[...] = drh.astype(drh_ref.dtype)
+    drw_ref[...] = drw.astype(drw_ref.dtype)
+
+
+def _relpos_dkv_kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, do_ref, lse_ref,
+                       delta_ref, dk_ref, dv_ref, *, block_q: int, k_w: int,
+                       scale: float):
+    j = pl.program_id(1)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    n_q = q_ref.shape[0]
+    num_qb = n_q // block_q
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(i * block_q, block_q)][:, None]
+        delta = delta_ref[pl.ds(i * block_q, block_q)][:, None]
+        rh = rh_ref[pl.ds(i * block_q, block_q), j][:, None]
+        rw = rw_ref[pl.ds(i * block_q, block_q), :]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = s + rh.astype(jnp.float32) + rw.astype(jnp.float32)
+        p = jnp.exp(s - lse)
+        dv = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk, dv
+
+    d = k.shape[-1]
+    dk, dv = jax.lax.fori_loop(
+        0, num_qb, body, (jnp.zeros((k_w, d), jnp.float32),
+                          jnp.zeros((k_w, d), jnp.float32)))
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
+
+
+def _relpos_fwd_call(q, k, v, rel_h, rel_w, block_q, interpret):
+    bh, n, d = q.shape
+    k_h, k_w = rel_h.shape[-1], rel_w.shape[-1]
+    scale = d**-0.5
+    return pl.pallas_call(
+        functools.partial(_relpos_fwd_kernel, k_w=k_w, scale=scale),
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, block_q, k_h), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q, k_w), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q), lambda i, j: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_relpos_core(q, k, v, rel_h, rel_w, block_q, interpret):
+    o, _ = _relpos_fwd_call(q, k, v, rel_h, rel_w, block_q, interpret)
+    return o
+
+
+def _flash_relpos_fwd(q, k, v, rel_h, rel_w, block_q, interpret):
+    o, lse = _relpos_fwd_call(q, k, v, rel_h, rel_w, block_q, interpret)
+    return o, (q, k, v, rel_h, rel_w, o, lse)
+
+
+def _flash_relpos_bwd(block_q, interpret, res, do):
+    q, k, v, rel_h, rel_w, o, lse = res
+    bh, n, d = q.shape
+    k_h, k_w = rel_h.shape[-1], rel_w.shape[-1]
+    scale = d**-0.5
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    dq, drh, drw = pl.pallas_call(
+        functools.partial(_relpos_dq_kernel, k_w=k_w, scale=scale),
+        grid=(bh, n // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, block_q, k_h), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q, k_w), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q), lambda i, j: (i, j)),
+            pl.BlockSpec((None, block_q), lambda i, j: (i, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q, k_h), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, block_q, k_w), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n, k_h), rel_h.dtype),
+            jax.ShapeDtypeStruct((bh, n, k_w), rel_w.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_relpos_dkv_kernel, block_q=block_q, k_w=k_w,
+                          scale=scale),
+        grid=(bh, k_h),
+        in_specs=[
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, k_w, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, k_w, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, n, k_h), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n, k_w), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, n), lambda i, j: (i, 0)),
+            pl.BlockSpec((None, n), lambda i, j: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, k_w, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, k_w, d), lambda i, j: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, rel_h, rel_w, do, lse, delta)
+
+    return dq, dk, dv, drh, drw
+
+
+_flash_relpos_core.defvjp(_flash_relpos_fwd, _flash_relpos_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def flash_attention_relpos(q, k, v, rel_h, rel_w,
+                           block_q: int = DEFAULT_BLOCK_Q,
+                           interpret: bool | None = None):
+    """Flash attention with SAM's decomposed rel-pos bias.
+
+    q/k/v: [BH, N, d] with N = k_h*k_w over a key grid; rel_h [BH, N, k_h],
+    rel_w [BH, N, k_w]; bias[q, kh*k_w+kw] = rel_h[q,kh] + rel_w[q,kw].
+    Differentiable in all five tensor args.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bh, n, d = q.shape
+    block_q = min(block_q, n)
+    assert n % block_q == 0, (n, block_q)
+    assert rel_h.shape[-1] * rel_w.shape[-1] == n, (rel_h.shape,
+                                                    rel_w.shape, n)
+    return _flash_relpos_core(q, k, v, rel_h, rel_w, block_q, interpret)

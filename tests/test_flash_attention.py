@@ -20,3 +20,121 @@ def test_flash_matches_reference():
     ours = flash_attention(q, k, v, block_q=64, block_k=64)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5,
                                rtol=2e-5)
+
+
+def test_flash_gradients_match_reference():
+    """Custom-VJP backward (FlashAttention-2 recipe) vs autodiff through the
+    einsum reference."""
+    rng = np.random.RandomState(1)
+    b, h, n, d = 1, 2, 128, 32
+    q = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, h, n, d).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, block_q=64, block_k=64) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(reference_attention(q, k, v) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_flash_gradients_bf16():
+    rng = np.random.RandomState(2)
+    b, h, n, d = 1, 1, 128, 64
+    q = jnp.asarray(rng.randn(b, h, n, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, h, n, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, h, n, d), jnp.bfloat16)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128)
+        return jnp.sum(o.astype(jnp.float32)**2)
+
+    def loss_ref(q, k, v):
+        o = reference_attention(q, k, v)
+        return jnp.sum(o.astype(jnp.float32)**2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32),
+                                   atol=0.15, rtol=0.1)
+
+
+def test_flash_relpos_matches_reference():
+    """Rel-pos flash (bias decomposed per key row) vs the explicit einsum
+    reference with the same bias."""
+    from simpleaicv_tpu.ops.flash_attention import flash_attention_relpos
+    rng = np.random.RandomState(3)
+    bh, kh, kw, d = 3, 16, 16, 32
+    n = kh * kw
+    q = jnp.asarray(rng.randn(bh, n, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(bh, n, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(bh, n, d).astype(np.float32))
+    rel_h = jnp.asarray(rng.randn(bh, n, kh).astype(np.float32))
+    rel_w = jnp.asarray(rng.randn(bh, n, kw).astype(np.float32))
+
+    def ref(q, k, v, rel_h, rel_w):
+        s = jnp.einsum("bnd,bmd->bnm", q, k) * (d**-0.5)
+        bias = (rel_h[:, :, :, None] + rel_w[:, :, None, :]).reshape(
+            bh, n, n)
+        p = jax.nn.softmax(s + bias, axis=-1)
+        return jnp.einsum("bnm,bmd->bnd", p, v)
+
+    ours = flash_attention_relpos(q, k, v, rel_h, rel_w, block_q=64)
+    expect = ref(q, k, v, rel_h, rel_w)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(expect),
+                               atol=2e-5, rtol=2e-5)
+
+    w = jnp.asarray(rng.randn(bh, n, d).astype(np.float32))
+    gf = jax.grad(lambda *a: jnp.sum(flash_attention_relpos(
+        *a, block_q=64) * w), argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) * w),
+                  argnums=(0, 1, 2, 3, 4))(q, k, v, rel_h, rel_w)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4,
+                                   rtol=1e-4)
+
+
+def test_sam_encoder_flash_equivalence():
+    """ViTImageEncoder with use_flash_attention=True (global layers route
+    through flash_attention_relpos) matches the einsum path."""
+    from simpleaicv_tpu.models.interactive_segmentation.image_encoder import \
+        ViTImageEncoder
+
+    kwargs = dict(image_size=128, patch_size=16, embedding_planes=64,
+                  block_nums=2, head_nums=2, window_size=2,
+                  global_attn_indexes=(1,), out_planes=32)
+    enc_ref = ViTImageEncoder(**kwargs)
+    enc_flash = ViTImageEncoder(use_flash_attention=True, **kwargs)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 128, 128, 3),
+                    jnp.float32)
+    v = jax.jit(lambda: enc_ref.init({"params": jax.random.PRNGKey(0)}, x,
+                                     False))()
+    # n = (128/16)^2 = 64 tokens -> NOT a 128 multiple: falls back to einsum
+    a = enc_ref.apply(v, x, False)
+    b = enc_flash.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(a, np.float32),
+                               np.asarray(b, np.float32), atol=1e-5)
+
+    # 256 tokens (grid 16x16): flash kicks in on the global layer
+    kwargs["image_size"] = 256
+    enc_ref = ViTImageEncoder(**kwargs)
+    enc_flash = ViTImageEncoder(use_flash_attention=True, **kwargs)
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 256, 256, 3),
+                    jnp.float32)
+    v = jax.jit(lambda: enc_ref.init({"params": jax.random.PRNGKey(0)}, x,
+                                     False))()
+    a = np.asarray(enc_ref.apply(v, x, False), np.float32)
+    b = np.asarray(enc_flash.apply(v, x, False), np.float32)
+    # einsum path casts probs to bf16 before PV; flash keeps f32 accumulators
+    np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9999
