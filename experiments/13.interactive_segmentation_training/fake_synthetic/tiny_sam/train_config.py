@@ -19,9 +19,11 @@ class config:
 
     train_dataset = FakeSAMSegmentationDataset(
         32, input_image_size, transform=SamResize(input_image_size))
-    test_dataset = None
+    test_dataset = FakeSAMSegmentationDataset(
+        8, input_image_size, transform=SamResize(input_image_size))
     train_collater = SAMBatchCollater(resize=input_image_size)
-    test_collater = None
+    test_collater = SAMBatchCollater(resize=input_image_size,
+                                     use_noise_bbox=False)
 
     prompt_probs = {"point": 0.34, "box": 0.33, "mask": 0.33}
     decoder_point_iters = 2

@@ -220,13 +220,28 @@ class Trainer:
             lambda x: jax.make_array_from_process_local_data(
                 self.batch_sharding, np.asarray(x)), batch)
 
+    def _device_prefetch(self, loader):
+        """Double-buffered host->device transfer: the next batch is sharded
+        (device_put) while the current step is still executing (dispatch is
+        async), so input transfer overlaps compute — the reference's
+        num_workers prefetch only overlaps AUGMENTATION, not the H2D copy."""
+        it = iter(loader)
+        buf = None
+        for batch in it:
+            nxt = self.shard(batch)
+            if buf is not None:
+                yield buf
+            buf = nxt
+        if buf is not None:
+            yield buf
+
     def train_epoch(self, epoch: int) -> float:
         self.train_loader.set_epoch(epoch)
         loss_meter = AverageMeter()
         t0 = time.time()
         n_images = 0
-        for i, batch in enumerate(self.train_loader, start=1):
-            gbatch = self.shard(batch)
+        for i, gbatch in enumerate(self._device_prefetch(self.train_loader),
+                                   start=1):
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.train_step(self.state, gbatch, step_rng)
             n_images += self.config.batch_size
@@ -254,8 +269,12 @@ class Trainer:
             loss = self.train_epoch(epoch)
             key_metric = None
             # first-class task-eval protocol: `evaluate` owns the pass and may
-            # ignore `eval_step` (e.g. detection decodes + COCOevals itself)
-            if self.evaluate is not None and self.test_loader is not None:
+            # ignore `eval_step` (e.g. detection decodes + COCOevals itself);
+            # evaluate.needs_loader=False runs without a test set (diffusion
+            # sample grids)
+            if self.evaluate is not None and (
+                    self.test_loader is not None or
+                    getattr(self.evaluate, "needs_loader", True) is False):
                 metrics = self.evaluate(self.eval_step, self.eval_params(),
                                         self.state.state_vars,
                                         self.test_loader, self.shard)

@@ -67,25 +67,38 @@ class DataLoader:
         indices = self._local_indices()
         bs = self.local_batch_size
         n_batches = len(self)
-
-        def load_batch(batch_idx):
-            idxs = indices[batch_idx * bs:(batch_idx + 1) * bs]
-            if len(idxs) < bs and self.drop_last:
-                return None
-            return self.collater([self.dataset[int(i)] for i in idxs])
+        n_samples = n_batches * bs if self.drop_last else len(indices)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
+            """Per-sample futures with a BOUNDED in-flight window — all
+            workers cooperate on the next batches, and memory is capped at
+            (window samples + prefetch collated batches) regardless of epoch
+            length (the round-1 version submitted the whole epoch up front)."""
+            from collections import deque
+            window = self.num_workers + bs * max(self.prefetch, 1)
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [pool.submit(load_batch, b) for b in range(n_batches)]
-                for f in futures:
-                    if stop.is_set():
-                        for g in futures:
-                            g.cancel()
-                        break
-                    q.put(f.result())
+                inflight: deque = deque()
+                next_i = 0
+                cur = []
+                done = 0
+                while done < n_samples and not stop.is_set():
+                    while next_i < n_samples and len(inflight) < window:
+                        inflight.append(
+                            pool.submit(self.dataset.__getitem__,
+                                        int(indices[next_i])))
+                        next_i += 1
+                    cur.append(inflight.popleft().result())
+                    done += 1
+                    if len(cur) == bs:
+                        q.put(self.collater(cur))
+                        cur = []
+                if cur and not self.drop_last and not stop.is_set():
+                    q.put(self.collater(cur))
+                for f in inflight:
+                    f.cancel()
             q.put(StopIteration)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -99,3 +112,10 @@ class DataLoader:
                     yield item
         finally:
             stop.set()
+            # drain so the producer can observe `stop` and exit
+            while True:
+                try:
+                    if q.get_nowait() is StopIteration:
+                        break
+                except queue.Empty:
+                    break

@@ -36,8 +36,20 @@ class DETRTrainer(Trainer):
 def main():
     args = parse_work_dir()
     config = load_train_config(args)
+
+    def evaluate(eval_step, params, state_vars, loader, shard_fn):
+        """Per-epoch COCO eval via the shared detection evaluator (reference
+        validates every epoch, tools/scripts.py:836; best ckpt on mAP)."""
+        del eval_step, shard_fn
+        return detection.evaluate_coco(config.model, params, state_vars,
+                                       config.decoder, loader,
+                                       config.num_classes)
+
+    has_eval = getattr(config, "test_dataset", None) is not None and \
+        getattr(config, "decoder", None) is not None
     DETRTrainer(config, args.work_dir,
-                make_loss_fn=detection.make_detr_loss_fn).run()
+                make_loss_fn=detection.make_detr_loss_fn,
+                evaluate=evaluate if has_eval else None).run()
 
 
 if __name__ == "__main__":

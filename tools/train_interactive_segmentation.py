@@ -35,8 +35,30 @@ class SAMTrainer(Trainer):
         super().__init__(config, work_dir,
                          make_loss_fn=lambda model, criterion:
                          sam_task.make_loss_fn(model, criterion),
+                         evaluate=self._evaluate,
                          init_batch=init_batch)
         self._predict = sam_task.make_predict_best_mask_fn(self.model)
+
+    def _evaluate(self, eval_step, params, state_vars, loader, shard_fn):
+        """Per-epoch point-prompt validation (reference
+        tools/interactive_segmentation_scripts.py:87-105: best-mask IoU over
+        the val set; best checkpoint selected on mean IoU)."""
+        del eval_step
+        iou_sum = n = 0.0
+        for batch in loader:
+            g = shard_fn(batch)
+            pred = self._predict(params, state_vars, g["image"],
+                                 g["prompt_point"])       # [B,1,H,W] logits
+            pred_bin = np.asarray(pred[:, 0] > 0.0, np.float32)
+            gt = np.asarray(g["mask"], np.float32)
+            if gt.ndim == 4:
+                gt = gt[:, 0] if gt.shape[1] == 1 else gt[..., 0]
+            inter = (pred_bin * gt).sum(axis=(1, 2))
+            union = pred_bin.sum(axis=(1, 2)) + gt.sum(axis=(1, 2)) - inter
+            iou_sum += float((inter / np.maximum(union, 1.0)).sum())
+            n += pred_bin.shape[0]
+        miou = iou_sum / max(n, 1.0)
+        return {"iou": miou, "key_metric": miou}
 
     def _init_variables(self, model, rng, init_batch):
         s = self.config.input_image_size
