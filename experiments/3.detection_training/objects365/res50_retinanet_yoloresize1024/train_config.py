@@ -1,0 +1,79 @@
+"""Objects365 Retina ResNet-50, yolo-style 1024 (parity: reference
+3.detection_training/objects365/res50_retinanet_yoloresize1024/train_config.py —
+365 classes, MultiStepLR [8,12], bs 64; trained by
+tools/train_objects365_detection.py which saves every epoch, no eval)."""
+
+import os
+import sys
+
+sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             *[".."] * 4, "tools"))
+from path import Objects365_path  # noqa: E402
+
+from simpleaicv_tpu.core.registry import MODELS, LOSSES, DECODERS
+from simpleaicv_tpu.data.datasets import Objects365Detection
+from simpleaicv_tpu.data.detection import (DetectionResize,
+                                           RandomHorizontalFlip, Normalize,
+                                           DetectionCollater)
+from simpleaicv_tpu.data.transforms import Compose
+
+
+class config:
+    network = "resnet50_retinanet"
+    num_classes = 365
+    input_image_size = 1024
+
+    model = MODELS.create(network, num_classes=num_classes)
+    trained_model_path = ""
+
+    train_criterion = LOSSES.create("RetinaLoss")
+    decoder = DECODERS.create("RetinaDecoder")
+
+    train_dataset = Objects365Detection(
+        Objects365_path, set_name="train",
+        filter_no_object_image=True,
+        transform=Compose([
+            DetectionResize(resize=input_image_size,
+                            resize_type="yolo_style", multi_scale=True),
+            RandomHorizontalFlip(prob=0.5),
+            Normalize(),
+        ]))
+    test_dataset = Objects365Detection(
+        Objects365_path, set_name="val",
+        transform=Compose([
+            DetectionResize(resize=input_image_size,
+                            resize_type="yolo_style"),
+            Normalize(),
+        ]))
+    train_collater = DetectionCollater(resize=input_image_size,
+                                       resize_type="yolo_style")
+    test_collater = DetectionCollater(resize=input_image_size,
+                                      resize_type="yolo_style")
+
+    seed = 0
+    batch_size = 64
+    num_workers = 8
+    accumulation_steps = 1
+
+    optimizer = (
+        "AdamW",
+        {
+            "lr": 1e-4,
+            "global_weight_decay": False,
+            "weight_decay": 1e-3,
+            "no_weight_decay_layer_name_list": [],
+        },
+    )
+    scheduler = (
+        "MultiStepLR",
+        {
+            "warm_up_epochs": 0.5,
+            "gamma": 0.1,
+            "milestones": [8, 12],
+        },
+    )
+
+    epochs = 13
+    print_interval = 100
+
+    use_ema_model = False

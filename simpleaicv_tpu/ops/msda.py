@@ -87,15 +87,22 @@ def ms_deform_attn_xla(value, value_spatial_shapes,
 
 def ms_deform_attn(value, value_spatial_shapes, sampling_locations,
                    attention_weights, use_pallas: bool = False):
-    """Dispatcher. ``use_pallas`` selects the Pallas TPU kernel when the
-    platform supports it; otherwise the XLA core runs (identical results)."""
-    if use_pallas:
-        try:
-            from .msda_pallas import ms_deform_attn_pallas
-            return ms_deform_attn_pallas(value, value_spatial_shapes,
-                                         sampling_locations,
-                                         attention_weights)
-        except Exception:
-            pass
+    """Dispatcher.
+
+    On TPU the XLA core is the production path BY DESIGN, not as a fallback:
+    MSDA is a random-row gather (4 bilinear corners x L x P rows per query),
+    and Mosaic's vector gather only supports indices shaped like the operand
+    (mosaic/lowering.py _gather_lowering_rule), so an in-kernel row gather
+    would need either a one-hot MXU matmul (64x the FLOPs) or serialized
+    scalar dynamic-slices (~8k per query block) — both measured/estimated
+    slower than XLA's native gather, which already runs near the op's
+    memory roofline at DINO-DETR shapes (see ROADMAP.md round-2 MSDA
+    numbers). ``use_pallas`` selects the Pallas kernel where it lowers
+    (interpret mode / CPU) for equivalence testing.
+    """
+    if use_pallas and jax.default_backend() == "cpu":
+        from .msda_pallas import ms_deform_attn_pallas
+        return ms_deform_attn_pallas(value, value_spatial_shapes,
+                                     sampling_locations, attention_weights)
     return ms_deform_attn_xla(value, value_spatial_shapes,
                               sampling_locations, attention_weights)

@@ -5,10 +5,15 @@ value table [S, D] stays resident in VMEM (bf16: ~5.6MB for DINO-DETR's
 87k x 32 table) while each query block computes its L*P bilinear samples as
 gathers + VPU blends, accumulating in f32.
 
-The gather is expressed as ``jnp.take`` over the first axis of the VMEM
-table — Mosaic lowers this to TPU dynamic-gather where supported; on
-platforms/shapes where it does not compile, the dispatcher in ops/msda.py
-falls back to the XLA core (identical numerics, slightly more HBM traffic).
+STATUS (round 2, measured on v5e): this kernel is the interpret-mode
+REFERENCE implementation. Mosaic's vector gather lowering only accepts
+indices shaped like the operand (mosaic/lowering.py:_gather_lowering_rule
+asserts ``indices.shape == operand.shape + (1,)``), so the [Bq]-rows-from-
+[S,D] gather here does not lower on TPU; the production TPU path is the XLA
+core in ops/msda.py, which runs near the op's memory roofline at DINO-DETR
+shapes (numbers in ROADMAP.md). The two candidate in-kernel encodings are
+strictly worse: one-hot MXU matmul multiplies FLOPs by the table size, and
+SMEM-scalar dynamic-slice loops serialize ~8k row loads per query block.
 Equivalence: tests/test_msda_pallas.py (interpret mode == XLA core == C++).
 """
 

@@ -42,31 +42,52 @@ def make_loss_fn(model, criterion, mask_out_idxs=(0, 1, 2, 3)) -> Callable:
     return loss_fn
 
 
-def sample_error_region_points(pred_masks, gt_masks, prev_points):
-    """Add one refinement click per image at the arg-max error pixel,
+def sample_error_region_points(pred_masks, gt_masks, prev_points, rng=None,
+                               min_error_pixels: int = 10):
+    """Add one refinement click per image at a UNIFORM-RANDOM error pixel,
     written into the first free (-1-label) padding slot so the prompt tensor
     keeps its fixed shape (no recompiles across refinement iterations).
 
+    Parity: reference ``sample_point_in_mask`` non-SLIC branch
+    (tools/interactive_segmentation_scripts.py:447-460) — uniform sampling
+    over the fp|fn error region (Gumbel-max over the error mask gives the
+    exact same distribution, jit-compatibly), click label 1 for false
+    negatives / 0 for false positives, and the sample is ABORTED (no new
+    click) when the error region is smaller than ``min_error_pixels`` (the
+    reference writes an ignore label; we keep the previous points, which the
+    collater's -1 padding already ignores). The reference's optional SLIC
+    superpixel branch is a host-side diversity heuristic over the same
+    region; with rng=None this falls back to the deterministic arg-max-error
+    pixel (used by eval paths that want reproducibility).
+
     pred_masks [B,1,H,W] logits; gt_masks [B,H,W]; prev_points [B,N,3].
-    New point label = gt value at that pixel (1: should be fg -> positive
-    click, 0: should be bg -> negative click). If no free slot remains, the
-    last slot is overwritten."""
+    """
     b, _, h, w = pred_masks.shape
     n = prev_points.shape[1]
     pred_bin = (pred_masks[:, 0] > 0).astype(jnp.float32)
-    err = jnp.abs(pred_bin - gt_masks.astype(jnp.float32))
-    flat_idx = jnp.argmax(err.reshape(b, -1), axis=1)
+    gt = gt_masks.astype(jnp.float32)
+    err = jnp.abs(pred_bin - gt)                          # fp | fn
+    err_flat = err.reshape(b, -1)
+    if rng is not None:
+        noise = jax.random.uniform(rng, err_flat.shape, minval=1e-6,
+                                   maxval=1.0)
+        score = err_flat * noise        # argmax == uniform over error pixels
+    else:
+        score = err_flat
+    flat_idx = jnp.argmax(score, axis=1)
     ys = (flat_idx // w).astype(jnp.float32)
     xs = (flat_idx % w).astype(jnp.float32)
-    labels = jnp.take_along_axis(
-        gt_masks.reshape(b, -1).astype(jnp.float32), flat_idx[:, None],
-        axis=1)[:, 0]
+    labels = jnp.take_along_axis(gt.reshape(b, -1), flat_idx[:, None],
+                                 axis=1)[:, 0]
     new_pt = jnp.stack([xs, ys, labels], axis=1)          # [B,3]
 
     is_free = prev_points[:, :, 2] < 0                    # [B,N]
     slot = jnp.argmax(is_free, axis=1)
     slot = jnp.where(jnp.any(is_free, axis=1), slot, n - 1)
-    return prev_points.at[jnp.arange(b), slot].set(new_pt)
+    updated = prev_points.at[jnp.arange(b), slot].set(new_pt)
+    # abort tiny error regions (reference :447-452): keep previous points
+    enough = jnp.sum(err_flat, axis=1) >= min_error_pixels
+    return jnp.where(enough[:, None, None], updated, prev_points)
 
 
 def make_predict_best_mask_fn(model):

@@ -98,16 +98,21 @@ def test_error_region_point_sampling():
     gt = jnp.zeros((2, 8, 8)).at[:, 4, 5].set(1.0)
     prev = jnp.full((2, 3, 3), -1.0)
     prev = prev.at[:, 0].set(jnp.asarray([1.0, 1.0, 1.0]))  # slot 0 taken
-    pts = sample_error_region_points(pred, gt, prev)
+    # single-pixel error region: below the reference's abort threshold
+    # unless disabled (interactive_segmentation_scripts.py:447-452)
+    pts = sample_error_region_points(pred, gt, prev, min_error_pixels=0)
     assert pts.shape == (2, 3, 3)  # fixed shape: slot insertion, no concat
     np.testing.assert_allclose(np.asarray(pts[:, 1]),
                                [[5, 4, 1], [5, 4, 1]])  # first free slot
     np.testing.assert_allclose(np.asarray(pts[:, 0]), 1.0)  # untouched
     # full prompt: overwrite last slot
     full = jnp.ones((2, 3, 3))
-    pts2 = sample_error_region_points(pred, gt, full)
+    pts2 = sample_error_region_points(pred, gt, full, min_error_pixels=0)
     np.testing.assert_allclose(np.asarray(pts2[:, 2]),
                                [[5, 4, 1], [5, 4, 1]])
+    # default threshold: the 1-pixel region aborts, points unchanged
+    pts3 = sample_error_region_points(pred, gt, prev)
+    np.testing.assert_allclose(np.asarray(pts3), np.asarray(prev))
 
 
 def test_sam_distill_loss_matches_torch_restatement():
@@ -152,3 +157,50 @@ def test_sam_distill_loss_matches_torch_restatement():
     assert abs(float(ours["distill_focal_loss"]) - 20 * focal_total / b) < 1e-3
     assert abs(float(ours["distill_dice_loss"]) - dice_total / b) < 1e-4
     assert abs(float(ours["distill_iou_predict_loss"]) - iou_total / b) < 1e-4
+
+
+def test_sample_error_region_points_uniform_and_abort():
+    """Gumbel-max uniform error sampling matches the reference non-SLIC
+    branch semantics (interactive_segmentation_scripts.py:447-460): uniform
+    over fp|fn, fn -> positive click, fp -> negative click, tiny error
+    regions abort."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from simpleaicv_tpu.tasks.interactive_segmentation import \
+        sample_error_region_points
+
+    h = w = 16
+    gt = np.zeros((1, h, w), np.float32)
+    gt[0, 4:12, 4:12] = 1.0                       # fg square
+    pred = np.full((1, 1, h, w), -1.0, np.float32)  # predicts all bg
+    pred[0, 0, 4:12, 4:8] = 1.0                   # left half correct
+    # error region = fn pixels at [4:12, 8:12] (32 px)
+    prev = np.full((1, 9, 3), -1.0, np.float32)
+
+    hits = set()
+    for i in range(64):
+        out = sample_error_region_points(
+            jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(prev),
+            rng=jax.random.PRNGKey(i))
+        x, y, lbl = np.asarray(out)[0, 0]
+        assert 8 <= x < 12 and 4 <= y < 12, (x, y)
+        assert lbl == 1.0                         # fn -> positive click
+        hits.add((int(x), int(y)))
+    assert len(hits) > 10                         # actually spreads out
+
+    # fp pixels -> negative click
+    pred2 = np.full((1, 1, h, w), 1.0, np.float32)  # predicts all fg
+    out = sample_error_region_points(jnp.asarray(pred2), jnp.asarray(gt),
+                                     jnp.asarray(prev),
+                                     rng=jax.random.PRNGKey(0))
+    x, y, lbl = np.asarray(out)[0, 0]
+    assert lbl == 0.0
+
+    # tiny error region aborts (keeps previous points)
+    pred3 = np.where(gt[:, None] > 0, 1.0, -1.0).astype(np.float32)
+    pred3[0, 0, 4, 4] = -1.0                      # exactly 1 error pixel
+    out = sample_error_region_points(jnp.asarray(pred3), jnp.asarray(gt),
+                                     jnp.asarray(prev),
+                                     rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out), prev)

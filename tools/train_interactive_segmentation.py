@@ -107,9 +107,11 @@ class SAMTrainer(Trainer):
                                           self.state.state_vars,
                                           gbatch["image"],
                                           gbatch["prompt_point"])
+                    self.rng, pt_rng = jax.random.split(self.rng)
                     gbatch["prompt_point"] = \
                         sam_task.sample_error_region_points(
-                            masks, gbatch["mask"], gbatch["prompt_point"])
+                            masks, gbatch["mask"], gbatch["prompt_point"],
+                            rng=pt_rng)
             if i % self.print_interval == 0:
                 loss_meter.update(float(metrics["loss"]))
                 self.log(f"epoch {epoch} iter {i}/{self.steps_per_epoch} "
