@@ -173,10 +173,23 @@ class Trainer:
         self.best_metric = -float("inf")
         restored = None
         try:
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
-                                               sharding=x.sharding)
-                if hasattr(x, "sharding") else x, self.state)
+            from jax.sharding import NamedSharding
+            repl = replicated(self.mesh)
+
+            def abstract_leaf(x):
+                if not hasattr(x, "sharding"):
+                    return x
+                # Uncommitted leaves (fresh jnp scalars like state.step)
+                # carry a SingleDeviceSharding; restoring with it would
+                # produce a committed single-device array that conflicts
+                # with the mesh-sharded params inside the jitted step.
+                # Restore such leaves replicated over the mesh instead.
+                sh = x.sharding
+                if not isinstance(sh, NamedSharding):
+                    sh = repl
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+
+            abstract = jax.tree.map(abstract_leaf, self.state)
             restored = self.ckpt.restore_latest(
                 abstract, {"best_metric": -float("inf"), "time": 0.0})
         except Exception as e:  # no checkpoint yet

@@ -97,3 +97,33 @@ def test_coco_semantic_segmentation_mask(tmp_path):
                                   reduce_zero_label=True)
     mask = ds[0]["mask"]
     assert mask[5, 2] == 0 and mask[5, 12] == 1 and mask[15, 25] == 255
+
+
+def test_auto_augment_all_policies_and_ops():
+    """Full policy zoo (reference auto_rand_augment.py:358-496): every policy
+    variant runs every one of its ops without error and preserves shape."""
+    import random as _random
+    import numpy as _np
+    from simpleaicv_tpu.data.auto_rand_augment import (AutoAugment,
+                                                       RandAugment,
+                                                       AugmentOp,
+                                                       _OP_FNS, _to_pil)
+    _random.seed(0)
+    img = (_np.random.RandomState(0).rand(48, 48, 3) * 255).astype(
+        _np.float32)
+    for policy in ("v0", "v0r", "original", "originalr"):
+        aug = AutoAugment(policy=policy)
+        for _ in range(8):
+            out = aug({"image": img.copy()})
+            assert out["image"].shape == img.shape
+    # every op executes at full probability and max magnitude
+    pil = _to_pil(img)
+    for name in _OP_FNS:
+        AugmentOp(name, 1.0, 10)(pil)
+        AugmentOp(name, 1.0, 0)(pil)
+    # posterize level 10 in the v0 table == bits 4; Posterize at level 0
+    # keeps 0 bits -> black image (TPU EfficientNet behavior)
+    black = _np.asarray(AugmentOp("Posterize", 1.0, 0)(pil))
+    assert black.max() == 0
+    out = RandAugment(N=2, M=9)({"image": img.copy()})
+    assert out["image"].shape == img.shape
