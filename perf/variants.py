@@ -27,6 +27,7 @@ def build(variant):
     else:
         common.set_bn_compute_dtype(jnp.float32)
     common.set_bn_stats_barrier(variant == "bn_barrier")
+    common.set_bn_fused(variant != "flax_bn")
 
     from simpleaicv_tpu.core.engine import (EngineConfig, create_train_state,
                                             make_train_step)
@@ -36,7 +37,8 @@ def build(variant):
     from simpleaicv_tpu.losses import CELoss
     from simpleaicv_tpu.tasks.classification import make_loss_fn
 
-    model = BACKBONES.create("resnet50", num_classes=1000)
+    model = BACKBONES.create("resnet50", num_classes=1000,
+                             use_gradient_checkpoint=(variant == "remat"))
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((BATCH, IMAGE, IMAGE, 3), jnp.bfloat16)
     variables = jax.jit(lambda: model.init({"params": rng}, x0, True))()

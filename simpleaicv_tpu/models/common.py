@@ -33,6 +33,11 @@ _BN_COMPUTE_DTYPE = jnp.float32
 # (measured ~2x slower than the two parts separately on v5e).
 _BN_STATS_BARRIER = False
 
+# When True (default), ConvBnAct uses the minimal-pass custom-VJP BatchNorm
+# (ops/fused_bn.py) instead of flax's autodiff-derived one. Same numerics
+# and variable layout; fewer HBM passes in the backward.
+_BN_FUSED = True
+
 
 def set_bn_compute_dtype(dtype):
     global _BN_COMPUTE_DTYPE
@@ -42,6 +47,11 @@ def set_bn_compute_dtype(dtype):
 def set_bn_stats_barrier(enabled: bool):
     global _BN_STATS_BARRIER
     _BN_STATS_BARRIER = enabled
+
+
+def set_bn_fused(enabled: bool):
+    global _BN_FUSED
+    _BN_FUSED = enabled
 
 
 class ConvBnAct(nn.Module):
@@ -70,9 +80,15 @@ class ConvBnAct(nn.Module):
         if self.has_bn:
             if _BN_STATS_BARRIER:
                 x = jax.lax.optimization_barrier(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=_BN_COMPUTE_DTYPE,
-                             param_dtype=jnp.float32, name="bn")(x)
+            if _BN_FUSED:
+                from ..ops.fused_bn import FusedBatchNorm
+                x = FusedBatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5,
+                                   name="bn")(x)
+            else:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=_BN_COMPUTE_DTYPE,
+                                 param_dtype=jnp.float32, name="bn")(x)
             x = x.astype(self.dtype)
         if self.has_act:
             x = self.act(x)

@@ -1,0 +1,140 @@
+"""Minimal-HBM-traffic training BatchNorm (custom VJP).
+
+Training-mode BatchNorm is pure bandwidth on TPU: the math is trivial, the
+cost is passes over the activation. jax's autodiff of the naive formulation
+can materialize extra f32 intermediates and split the backward reductions
+into several passes. This implementation pins the pass structure explicitly:
+
+  forward:  ONE variadic reduce over x (sum, sum of squares, f32 accum)
+            + one elementwise pass producing y (fuses into the consumer).
+            The batch statistics for the running-average update come out of
+            the same reduce — no extra pass.
+  backward: ONE variadic reduce over (dy, x) producing sum(dy) and
+            sum(dy * x) + one elementwise pass producing dx (fuses into
+            the upstream dgrad conv chain).
+
+Numerics match flax.linen.BatchNorm (f32 statistics, biased variance,
+``var = E[x^2] - E[x]^2``) — equivalence is tested in
+tests/test_fused_bn.py. Parity target: the reference's per-task
+``nn.BatchNorm2d`` usage (e.g. reference
+simpleAICV/classification/backbones/resnet.py:19-47 ConvBnActBlock).
+
+The module below, :class:`FusedBatchNorm`, is variable-compatible with
+``flax.linen.BatchNorm`` (same ``batch_stats``/``params`` collections and
+names) so checkpoints are interchangeable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_train(x, gamma, beta, eps):
+    """Train-mode BN of an NHWC tensor. Returns (y, mean, var).
+
+    mean/var are the biased batch statistics (f32); their cotangents are
+    ignored in the backward pass — they exist to feed the (stop-gradient)
+    running-average update without a second reduce pass over x.
+    """
+    y, (mean, var, _) = _bn_train_fwd_impl(x, gamma, beta, eps)
+    return y, mean, var
+
+
+def _bn_train_fwd_impl(x, gamma, beta, eps):
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    xf = x.astype(jnp.float32)
+    # one variadic reduce pass: both sums in a single read of x
+    s1 = jnp.sum(xf, axis=(0, 1, 2))
+    s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2))
+    mean = s1 / n
+    var = s2 / n - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    # elementwise pass (bf16 in/out; fuses into the consumer op)
+    scale = (gamma * rstd).astype(x.dtype)
+    shift = (beta - gamma * rstd * mean).astype(x.dtype)
+    y = x * scale + shift
+    return y, (mean, var, rstd)
+
+
+def _bn_train_vjp_fwd(x, gamma, beta, eps):
+    y, (mean, var, rstd) = _bn_train_fwd_impl(x, gamma, beta, eps)
+    return (y, mean, var), (x, gamma, mean, rstd)
+
+
+def _bn_train_vjp_bwd(eps, res, cts):
+    dy = cts[0]  # mean/var cotangents are zero (stat update path only)
+    x, gamma, mean, rstd = res
+    n = x.shape[0] * x.shape[1] * x.shape[2]
+    dyf = dy.astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    # one variadic reduce pass over (dy, x): both backward sums together.
+    # sum(dy * xhat) is computed from raw x to avoid materializing xhat:
+    #   sum(dy * (x - mean) * rstd) = rstd * (sum(dy*x) - mean*sum(dy))
+    s_dy = jnp.sum(dyf, axis=(0, 1, 2))
+    s_dyx = jnp.sum(dyf * xf, axis=(0, 1, 2))
+    s_dyxhat = rstd * (s_dyx - mean * s_dy)
+    # one elementwise pass over (dy, x) -> dx (bf16 out)
+    a = gamma * rstd
+    b = a * (rstd / n) * s_dyxhat          # coefficient of (x - mean)
+    c = -a * (s_dy / n) + b * mean         # constant term
+    dx = (dyf * a - xf * b + c).astype(x.dtype)
+    return dx, s_dyxhat, s_dy
+
+
+bn_train.defvjp(_bn_train_vjp_fwd, _bn_train_vjp_bwd)
+
+
+class FusedBatchNorm(nn.Module):
+    """Drop-in for flax.linen.BatchNorm (NHWC) with the minimal-pass VJP.
+
+    Variable layout matches nn.BatchNorm: params {scale, bias},
+    batch_stats {mean, var}. Only the axis=-1 NHWC/NLC case is supported —
+    that is the only case the model zoo uses.
+    """
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: object = None          # accepted for signature parity; unused
+    param_dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool | None = None):
+        use_ra = nn.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32),
+                                (features,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32),
+                               (features,))
+        if use_ra:
+            rstd = jax.lax.rsqrt(ra_var.value + self.epsilon)
+            s = (scale * rstd).astype(x.dtype)
+            t = (bias - scale * rstd * ra_mean.value).astype(x.dtype)
+            return x * s + t
+
+        orig_shape = x.shape
+        if x.ndim != 4:  # NLC and other ranks -> flatten to NHWC-like
+            x = x.reshape((x.shape[0], 1, -1, features))
+        y, mean, var = bn_train(x, scale, bias, self.epsilon)
+        y = y.reshape(orig_shape)
+        if not self.is_initializing():
+            # same stop-gradient semantics as flax: stats are plain
+            # variables, never differentiated
+            m = self.momentum
+            ra_mean.value = (m * ra_mean.value
+                             + (1 - m) * jax.lax.stop_gradient(mean))
+            ra_var.value = (m * ra_var.value
+                            + (1 - m) * jax.lax.stop_gradient(var))
+        return y
