@@ -12,9 +12,10 @@ import jax
 import numpy as np
 
 OPTS = {
+    "default": {},
+    "vmem32": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
     "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
     "vmem96": {"xla_tpu_scoped_vmem_limit_kib": "98304"},
-    "flags_off": {},
 }
 
 

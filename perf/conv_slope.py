@@ -53,6 +53,18 @@ def case(tag, H, cin, cout, k, mode, stride=1):
                     y = conv(cur, w, stride)
                 elif mode == "conv_bn":
                     y = bn_train(conv(cur, w, stride), scale_out, bias_out)
+                elif mode == "conv_bn_split":
+                    # barrier ONLY the stats read; normalize stays an
+                    # elementwise consumer of the raw conv output
+                    y0 = conv(cur, w, stride)
+                    yb = jax.lax.optimization_barrier(y0).astype(jnp.float32)
+                    mean = jnp.mean(yb, axis=(0, 1, 2))
+                    var = (jnp.mean(jnp.square(yb), axis=(0, 1, 2))
+                           - jnp.square(mean))
+                    rstd = jax.lax.rsqrt(var + 1e-5)
+                    s = (scale_out * rstd).astype(y0.dtype)
+                    t = (bias_out - scale_out * rstd * mean).astype(y0.dtype)
+                    y = y0 * s + t
                 elif mode == "bnrelu_conv":
                     xn = jax.nn.relu(
                         bn_train(cur, scale_in, bias_in))
@@ -82,6 +94,11 @@ def main():
         case("56x56 64->256 1x1", 56, 64, 256, 1, "conv")
         case("56x56 64->256 1x1", 56, 64, 256, 1, "conv_bn")
         case("56x56 64->256 1x1", 56, 64, 256, 1, "bnrelu_conv")
+    if "split" in which:
+        case("56x56 64->256 1x1", 56, 64, 256, 1, "conv_bn_split")
+        case("56x56 64->64 3x3", 56, 64, 64, 3, "conv_bn_split")
+        case("28x28 128->512 1x1", 28, 128, 512, 1, "conv_bn")
+        case("28x28 128->512 1x1", 28, 128, 512, 1, "conv_bn_split")
     if "l13x3" in which:
         case("56x56 64->64 3x3", 56, 64, 64, 3, "conv")
         case("56x56 64->64 3x3", 56, 64, 64, 3, "conv_bn")

@@ -45,9 +45,24 @@ def bn_train(x, gamma, beta, eps):
     return y, mean, var
 
 
+# When True, the statistics reduces read a fusion-barriered copy of the
+# tensor, forcing them into their own pass instead of XLA's conv+reduce
+# fusion. Measured on v5e at b128: the barrier LOSES (0.88ms vs 0.64ms at
+# 56x56 64->256; 0.47 vs 0.34 at 28x28 128->512) because the barrier
+# materializes an extra copy of the conv output. Default off; kept as a
+# measurement knob.
+_STATS_BARRIER = False
+
+
+def set_stats_barrier(enabled: bool):
+    global _STATS_BARRIER
+    _STATS_BARRIER = enabled
+
+
 def _bn_train_fwd_impl(x, gamma, beta, eps):
     n = x.shape[0] * x.shape[1] * x.shape[2]
-    xf = x.astype(jnp.float32)
+    xr = jax.lax.optimization_barrier(x) if _STATS_BARRIER else x
+    xf = xr.astype(jnp.float32)
     # one variadic reduce pass: both sums in a single read of x
     s1 = jnp.sum(xf, axis=(0, 1, 2))
     s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2))
@@ -72,11 +87,16 @@ def _bn_train_vjp_bwd(eps, res, cts):
     n = x.shape[0] * x.shape[1] * x.shape[2]
     dyf = dy.astype(jnp.float32)
     xf = x.astype(jnp.float32)
+    if _STATS_BARRIER:  # same producer-fusion hazard as the forward stats
+        dyr, xr = jax.lax.optimization_barrier((dy, x))
+        dyrf, xrf = dyr.astype(jnp.float32), xr.astype(jnp.float32)
+    else:
+        dyrf, xrf = dyf, xf
     # one variadic reduce pass over (dy, x): both backward sums together.
     # sum(dy * xhat) is computed from raw x to avoid materializing xhat:
     #   sum(dy * (x - mean) * rstd) = rstd * (sum(dy*x) - mean*sum(dy))
-    s_dy = jnp.sum(dyf, axis=(0, 1, 2))
-    s_dyx = jnp.sum(dyf * xf, axis=(0, 1, 2))
+    s_dy = jnp.sum(dyrf, axis=(0, 1, 2))
+    s_dyx = jnp.sum(dyrf * xrf, axis=(0, 1, 2))
     s_dyxhat = rstd * (s_dyx - mean * s_dy)
     # one elementwise pass over (dy, x) -> dx (bf16 out)
     a = gamma * rstd
