@@ -12,12 +12,19 @@ import numpy as np
 
 
 class ILSVRC2012Dataset:
+    """``native_decode_hw``: when set, JPEGs are decoded by the native
+    C++ path (csrc/native_io.cpp — libjpeg DCT-scaled decode + bilinear
+    letterbox straight to ``(hw, hw)`` f32), replacing the cv2 decode and
+    any Resize step in ``transform``. Falls back to cv2 per-image when the
+    library is absent or a file is not a decodable JPEG."""
 
     def __init__(self, root_dir: str, set_name: str = "train",
-                 transform: Optional[Callable] = None):
+                 transform: Optional[Callable] = None,
+                 native_decode_hw: Optional[int] = None):
         self.root_dir = root_dir
         self.set_name = set_name
         self.transform = transform
+        self.native_decode_hw = native_decode_hw
         self._items = None
         self._class_to_idx = None
 
@@ -43,9 +50,16 @@ class ILSVRC2012Dataset:
     def __getitem__(self, idx):
         self._scan()
         path, label = self._items[idx]
-        image = cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR)
-        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
-        sample = {"image": image.astype(np.float32), "label": int(label)}
+        image = None
+        if self.native_decode_hw is not None:
+            from ..native_io import decode_resize
+            with open(path, "rb") as f:
+                image = decode_resize(f.read(), self.native_decode_hw)
+        if image is None:
+            image = cv2.cvtColor(
+                cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR),
+                cv2.COLOR_BGR2RGB).astype(np.float32)
+        sample = {"image": image, "label": int(label)}
         if self.transform is not None:
             sample = self.transform(sample)
         return sample

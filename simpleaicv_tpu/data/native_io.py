@@ -1,0 +1,99 @@
+"""ctypes bindings for the native data-IO library (csrc/native_io.cpp).
+
+TPU-native replacement for the reference's C++ data path (torch DataLoader
+worker processes; reference tools/scripts.py DataLoader(num_workers=...)):
+one call decodes a whole batch of JPEGs with a C++ thread pool — libjpeg
+DCT-scaled decode (1/2, 1/4, 1/8 before IDCT when the target is small) +
+bilinear letterbox resize — writing straight into the collated NHWC float32
+batch buffer that the host->device transfer reads.
+
+Falls back transparently when the .so is absent (``available()`` is False);
+callers keep the cv2 per-image path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+_LIB_PATHS = (
+    os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                 "libsimpleaicv_io.so"),
+    "libsimpleaicv_io.so",
+)
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    for p in _LIB_PATHS:
+        try:
+            lib = ctypes.CDLL(os.path.abspath(p) if os.sep in p else p)
+        except OSError:
+            continue
+        lib.nio_version.restype = ctypes.c_int
+        lib.nio_decode_resize_f32.restype = ctypes.c_int
+        lib.nio_decode_resize_f32.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_float,
+        ]
+        lib.nio_batch_decode_files.restype = ctypes.c_int
+        lib.nio_batch_decode_files.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float,
+        ]
+        _lib = lib
+        return lib
+    _lib = False
+    return False
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def decode_resize(data: bytes, hw: int | tuple,
+                  pad_value: float = 0.0) -> Optional[np.ndarray]:
+    """Decode one JPEG byte string to f32 HWC [0,255], letterboxed to hw.
+
+    Returns None on decode failure (caller should fall back)."""
+    lib = _load()
+    if not lib:
+        return None
+    H, W = (hw, hw) if isinstance(hw, int) else hw
+    out = np.empty((H, W, 3), np.float32)
+    rc = lib.nio_decode_resize_f32(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        H, W, pad_value)
+    return out if rc == 0 else None
+
+
+def batch_decode_files(paths: Sequence[str], hw: int | tuple,
+                       n_threads: int = 0,
+                       pad_value: float = 0.0) -> Optional[np.ndarray]:
+    """Decode JPEG files into a collated [N, H, W, 3] f32 batch.
+
+    Failed/corrupt files come back as pad_value-filled slots (training
+    semantics: a bad sample becomes a constant image, never a crash).
+    Returns None when the native library is unavailable."""
+    lib = _load()
+    if not lib:
+        return None
+    H, W = (hw, hw) if isinstance(hw, int) else hw
+    n = len(paths)
+    out = np.empty((n, H, W, 3), np.float32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.nio_batch_decode_files(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        H, W, n_threads, pad_value)
+    return out
