@@ -100,15 +100,19 @@ bool decode_jpeg(const uint8_t* data, size_t len, int target_h, int target_w,
   return true;
 }
 
-// Bilinear resize RGB u8 -> f32 HWC [0,255], aspect-preserving letterbox
-// into (H, W) with pad_value (the reference's YoloStyleResize/padding
-// semantics: scale to fit, pad bottom/right;
-// reference simpleAICV/classification/common.py Resize pads with 0).
-void resize_letterbox_f32(const uint8_t* src, int sh, int sw, float* dst,
-                          int H, int W, float pad_value) {
-  const float scale = std::min((float)H / sh, (float)W / sw);
-  const int rh = std::max(1, (int)std::round(sh * scale));
-  const int rw = std::max(1, (int)std::round(sw * scale));
+// Bilinear resize RGB u8 -> f32 HWC [0,255]. letterbox=1: aspect-preserving
+// scale-to-fit with bottom/right pad_value (the reference detection
+// YoloStyleResize semantics). letterbox=0: plain stretch to (H, W) (the
+// reference classification Resize, simpleAICV/classification/common.py:543
+// cv2.resize to a square).
+void resize_f32(const uint8_t* src, int sh, int sw, float* dst, int H, int W,
+                float pad_value, int letterbox) {
+  int rh = H, rw = W;
+  if (letterbox) {
+    const float scale = std::min((float)H / sh, (float)W / sw);
+    rh = std::max(1, (int)std::round(sh * scale));
+    rw = std::max(1, (int)std::round(sw * scale));
+  }
   for (int y = 0; y < H; ++y) {
     for (int x = 0; x < W; ++x) {
       float* px = dst + ((size_t)y * W + x) * 3;
@@ -160,18 +164,19 @@ int nio_version() { return 1; }
 
 // Decode one JPEG buffer into out[H*W*3] f32 (letterboxed, [0,255]).
 int nio_decode_resize_f32(const uint8_t* data, long len, float* out, int H,
-                          int W, float pad_value) {
+                          int W, float pad_value, int letterbox) {
   std::vector<uint8_t> pixels;
   int sh = 0, sw = 0;
   if (!decode_jpeg(data, (size_t)len, H, W, &pixels, &sh, &sw)) return -1;
-  resize_letterbox_f32(pixels.data(), sh, sw, out, H, W, pad_value);
+  resize_f32(pixels.data(), sh, sw, out, H, W, pad_value, letterbox);
   return 0;
 }
 
 // Decode n files into out[n, H, W, 3] f32 with a thread pool.
 // Failed items are filled with pad_value; returns the number decoded ok.
 int nio_batch_decode_files(const char* const* paths, int n, float* out, int H,
-                           int W, int n_threads, float pad_value) {
+                           int W, int n_threads, float pad_value,
+                           int letterbox) {
   std::atomic<int> next(0), ok(0);
   auto worker = [&]() {
     std::vector<uint8_t> filebuf, pixels;
@@ -183,7 +188,7 @@ int nio_batch_decode_files(const char* const* paths, int n, float* out, int H,
       if (read_file(paths[i], &filebuf) &&
           decode_jpeg(filebuf.data(), filebuf.size(), H, W, &pixels, &sh,
                       &sw)) {
-        resize_letterbox_f32(pixels.data(), sh, sw, dst, H, W, pad_value);
+        resize_f32(pixels.data(), sh, sw, dst, H, W, pad_value, letterbox);
         ok.fetch_add(1);
       } else {
         std::fill(dst, dst + (size_t)H * W * 3, pad_value);

@@ -145,10 +145,12 @@ def _level_to_arg(op_name, level):
     if op_name == "SolarizeAdd":
         return min(128, int(110 * m))
     if op_name in ("Color", "Contrast", "Brightness", "Sharpness"):
-        return 1.0 + _negate(0.9 * m)
+        # reference _enhance_level_to_arg: monotonic [0.1, 1.9], no negation
+        return 1.8 * m + 0.1
     if op_name in ("ColorIncreasing", "ContrastIncreasing",
                    "BrightnessIncreasing", "SharpnessIncreasing"):
-        return 1.0 + _negate(0.9 * m)
+        # reference _enhance_increasing_level_to_arg: 1.0 +/- 0.9*m, >= 0.1
+        return max(0.1, 1.0 + _negate(0.9 * m))
     return 0
 
 

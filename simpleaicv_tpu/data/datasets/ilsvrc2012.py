@@ -14,9 +14,12 @@ import numpy as np
 class ILSVRC2012Dataset:
     """``native_decode_hw``: when set, JPEGs are decoded by the native
     C++ path (csrc/native_io.cpp — libjpeg DCT-scaled decode + bilinear
-    letterbox straight to ``(hw, hw)`` f32), replacing the cv2 decode and
-    any Resize step in ``transform``. Falls back to cv2 per-image when the
-    library is absent or a file is not a decodable JPEG."""
+    stretch resize straight to ``(hw, hw)`` f32, the reference
+    classification Resize geometry: simpleAICV/classification/common.py:543
+    plain ``cv2.resize``), replacing the cv2 decode and any Resize step in
+    ``transform``. The cv2 fallback (library absent, or a file that is not
+    a decodable JPEG — e.g. ImageNet's CMYK/PNG-disguised files) produces
+    the SAME ``(hw, hw)`` geometry, so batch shapes are always uniform."""
 
     def __init__(self, root_dir: str, set_name: str = "train",
                  transform: Optional[Callable] = None,
@@ -54,11 +57,15 @@ class ILSVRC2012Dataset:
         if self.native_decode_hw is not None:
             from ..native_io import decode_resize
             with open(path, "rb") as f:
-                image = decode_resize(f.read(), self.native_decode_hw)
+                image = decode_resize(f.read(), self.native_decode_hw,
+                                      letterbox=False)
         if image is None:
             image = cv2.cvtColor(
                 cv2.imdecode(np.fromfile(path, np.uint8), cv2.IMREAD_COLOR),
                 cv2.COLOR_BGR2RGB).astype(np.float32)
+            if self.native_decode_hw is not None:
+                hw = self.native_decode_hw
+                image = cv2.resize(image, (hw, hw))
         sample = {"image": image, "label": int(label)}
         if self.transform is not None:
             sample = self.transform(sample)

@@ -72,34 +72,53 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_stoppable(obj):
+            """Blocking put that gives up once the consumer has stopped
+            (stop set) — never deadlocks on a full queue with no reader."""
+            while not stop.is_set():
+                try:
+                    q.put(obj, timeout=0.05)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             """Per-sample futures with a BOUNDED in-flight window — all
             workers cooperate on the next batches, and memory is capped at
             (window samples + prefetch collated batches) regardless of epoch
-            length (the round-1 version submitted the whole epoch up front)."""
+            length (the round-1 version submitted the whole epoch up front).
+            A dataset/collater exception is forwarded to the consumer (and
+            re-raised there); the end-of-epoch sentinel is ALWAYS delivered
+            or provably unneeded (consumer already stopped), so the main
+            thread can never hang in q.get()."""
             from collections import deque
-            window = self.num_workers + bs * max(self.prefetch, 1)
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                inflight: deque = deque()
-                next_i = 0
-                cur = []
-                done = 0
-                while done < n_samples and not stop.is_set():
-                    while next_i < n_samples and len(inflight) < window:
-                        inflight.append(
-                            pool.submit(self.dataset.__getitem__,
-                                        int(indices[next_i])))
-                        next_i += 1
-                    cur.append(inflight.popleft().result())
-                    done += 1
-                    if len(cur) == bs:
-                        q.put(self.collater(cur))
-                        cur = []
-                if cur and not self.drop_last and not stop.is_set():
-                    q.put(self.collater(cur))
-                for f in inflight:
-                    f.cancel()
-            q.put(StopIteration)
+            err = None
+            try:
+                window = self.num_workers + bs * max(self.prefetch, 1)
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    inflight: deque = deque()
+                    next_i = 0
+                    cur = []
+                    done = 0
+                    while done < n_samples and not stop.is_set():
+                        while next_i < n_samples and len(inflight) < window:
+                            inflight.append(
+                                pool.submit(self.dataset.__getitem__,
+                                            int(indices[next_i])))
+                            next_i += 1
+                        cur.append(inflight.popleft().result())
+                        done += 1
+                        if len(cur) == bs:
+                            put_stoppable(self.collater(cur))
+                            cur = []
+                    if cur and not self.drop_last and not stop.is_set():
+                        put_stoppable(self.collater(cur))
+                    for f in inflight:
+                        f.cancel()
+            except Exception as e:  # noqa: BLE001 — forwarded to consumer
+                err = e
+            put_stoppable(err if err is not None else StopIteration)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -108,6 +127,8 @@ class DataLoader:
                 item = q.get()
                 if item is StopIteration:
                     break
+                if isinstance(item, Exception):
+                    raise item
                 if item is not None:
                     yield item
         finally:

@@ -42,13 +42,13 @@ def _load():
         lib.nio_decode_resize_f32.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.c_float,
+            ctypes.c_float, ctypes.c_int,
         ]
         lib.nio_batch_decode_files.restype = ctypes.c_int
         lib.nio_batch_decode_files.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_float,
+            ctypes.c_int, ctypes.c_float, ctypes.c_int,
         ]
         _lib = lib
         return lib
@@ -60,11 +60,13 @@ def available() -> bool:
     return bool(_load())
 
 
-def decode_resize(data: bytes, hw: int | tuple,
-                  pad_value: float = 0.0) -> Optional[np.ndarray]:
-    """Decode one JPEG byte string to f32 HWC [0,255], letterboxed to hw.
+def decode_resize(data: bytes, hw: int | tuple, pad_value: float = 0.0,
+                  letterbox: bool = True) -> Optional[np.ndarray]:
+    """Decode one JPEG byte string to f32 HWC [0,255] at hw.
 
-    Returns None on decode failure (caller should fall back)."""
+    letterbox=True: aspect-preserving with bottom/right padding (detection
+    semantics); letterbox=False: plain stretch resize (the reference
+    classification Resize). Returns None on decode failure."""
     lib = _load()
     if not lib:
         return None
@@ -72,13 +74,13 @@ def decode_resize(data: bytes, hw: int | tuple,
     out = np.empty((H, W, 3), np.float32)
     rc = lib.nio_decode_resize_f32(
         data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        H, W, pad_value)
+        H, W, pad_value, int(letterbox))
     return out if rc == 0 else None
 
 
 def batch_decode_files(paths: Sequence[str], hw: int | tuple,
-                       n_threads: int = 0,
-                       pad_value: float = 0.0) -> Optional[np.ndarray]:
+                       n_threads: int = 0, pad_value: float = 0.0,
+                       letterbox: bool = True) -> Optional[np.ndarray]:
     """Decode JPEG files into a collated [N, H, W, 3] f32 batch.
 
     Failed/corrupt files come back as pad_value-filled slots (training
@@ -95,5 +97,5 @@ def batch_decode_files(paths: Sequence[str], hw: int | tuple,
         n_threads = min(8, os.cpu_count() or 1)
     lib.nio_batch_decode_files(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        H, W, n_threads, pad_value)
+        H, W, n_threads, pad_value, int(letterbox))
     return out

@@ -223,7 +223,10 @@ class SAMMattingOneLevelLoss(_SAMMattingLossBase):
             fusion_alpha=jnp.mean(t.fusion_alpha),
             fusion_lap=jnp.mean(t.lap_fused),
             comp=jnp.mean(t.comp),
-            iou_pred=jnp.sum(t.iou_sq) / t.b,
+            # reference divides by batch AND level count
+            # (losses_matting.py fusion_iou_predict_loss: mse(sum)/B/L);
+            # identical for the one-level case where L == 1
+            iou_pred=jnp.sum(t.iou_sq) / t.b / t.L,
         )
 
 

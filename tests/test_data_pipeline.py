@@ -127,3 +127,45 @@ def test_auto_augment_all_policies_and_ops():
     assert black.max() == 0
     out = RandAugment(N=2, M=9)({"image": img.copy()})
     assert out["image"].shape == img.shape
+
+
+def test_loader_propagates_dataset_errors_and_survives_early_break():
+    """A dataset exception must surface in the consumer (not hang the
+    epoch), and breaking out of an epoch early must not deadlock."""
+    import pytest
+    from simpleaicv_tpu.data.loader import DataLoader
+
+    class Exploding:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            if i == 7:
+                raise ValueError("corrupt sample")
+            return {"x": i}
+
+    def collate(samples):
+        return [s["x"] for s in samples]
+
+    loader = DataLoader(Exploding(), batch_size=4, num_workers=2,
+                        collater=collate, shuffle=False, drop_last=False,
+                        prefetch=1)
+    with pytest.raises(ValueError, match="corrupt sample"):
+        for _ in loader:
+            pass
+
+    class Fine:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return {"x": i}
+
+    loader = DataLoader(Fine(), batch_size=4, num_workers=2,
+                        collater=collate, shuffle=False, prefetch=1)
+    for epoch in range(3):  # early break every epoch; must never deadlock
+        for i, batch in enumerate(loader):
+            if i == 1:
+                break
+    full = [b for b in loader]
+    assert len(full) == 16

@@ -70,3 +70,30 @@ def test_dct_scaled_decode_is_consistent(tmp_path):
     canvas = np.zeros((96, 96, 3), np.float32)
     canvas[:rh, :rw] = ref_r
     assert np.abs(small - canvas).mean() < 6.0
+
+
+def test_plain_resize_mode_matches_cv2_stretch(tmp_path):
+    """letterbox=False = reference classification Resize (plain stretch)."""
+    (p,) = _write_jpegs(tmp_path, [(80, 160)])
+    out = native_io.decode_resize(open(p, "rb").read(), (64, 64),
+                                  letterbox=False)
+    ref = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB).astype(np.float32)
+    ref = cv2.resize(ref, (64, 64), interpolation=cv2.INTER_LINEAR)
+    assert np.abs(out - ref).mean() < 3.0
+
+
+def test_ilsvrc_native_fallback_geometry(tmp_path):
+    """Non-JPEG files under native_decode_hw get the same (hw, hw) stretch
+    geometry via the cv2 fallback — batch shapes stay uniform."""
+    import os
+    d = tmp_path / "train" / "class0"
+    os.makedirs(d)
+    _write_jpegs(d, [(96, 128)])
+    png = (np.random.RandomState(0).rand(50, 70, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(d / "sneaky.JPEG.png"), png)
+    # a PNG disguised with a .JPEG name (real ImageNet quirk)
+    os.rename(str(d / "sneaky.JPEG.png"), str(d / "im_png.JPEG"))
+    from simpleaicv_tpu.data.datasets import ILSVRC2012Dataset
+    ds = ILSVRC2012Dataset(str(tmp_path), "train", native_decode_hw=64)
+    shapes = {ds[i]["image"].shape for i in range(len(ds))}
+    assert shapes == {(64, 64, 3)}

@@ -121,5 +121,18 @@ def test_final_char_table_frozen():
     assert t[10:36] == list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
     assert len(t) == len(set(t))
     assert "一" in t and "的" in t and "㑇" in t  # URO + Ext-A coverage
-    assert len(t) > 12111  # superset of the reference's curated table
+    assert len(t) == 27940
+    # supplementary-plane CJK block (reference table chars beyond U+FFFF)
+    assert "\U00020164" in t and "\U0002CE93" in t
     assert t == final_char_table()  # stable
+    # true superset of the reference's curated 12,111-char asset
+    import importlib.util
+    ref_path = ("/root/reference/simpleAICV/text_recognition/char_sets/"
+                "final_char_table.py")
+    import os
+    if os.path.exists(ref_path):
+        spec = importlib.util.spec_from_file_location("ref_tab", ref_path)
+        m = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(m)
+        ours = set(t)
+        assert all(c in ours for c in m.final_char_table)

@@ -203,8 +203,10 @@ def test_multi_level_golden():
     ab = (talpha[:, None].repeat(1, L, 1, 1) >= 0.5).float().reshape(B, L, -1)
     it = (fb * ab).sum(-1)
     iou_gt = (it + 1e-4) / (fb.sum(-1) + ab.sum(-1) - it + 1e-4)
+    # reference losses_matting.py MultiLevel fusion_iou_predict_loss:
+    # mse(sum) / batch_size / level_count
     iou_pred_loss = F.mse_loss(torch.tensor(iou_pred), iou_gt,
-                               reduction="sum") / B
+                               reduction="sum") / B / L
 
     ref = dict(ce=ce, iou=iou, local_alpha=local_alpha, local_lap=local_lap,
                fusion_alpha=fusion_alpha, fusion_lap=fusion_lap, comp=comp,

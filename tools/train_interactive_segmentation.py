@@ -39,6 +39,23 @@ class SAMTrainer(Trainer):
                          init_batch=init_batch)
         self._predict = sam_task.make_predict_best_mask_fn(self.model)
 
+        @jax.jit
+        def _iou_stats(pred, mask):
+            """Summed best-mask IoU + count, reduced ON DEVICE so eval works
+            with mesh-sharded global batches in multi-process runs (a host
+            np.asarray of a non-addressable global array would crash)."""
+            pred_bin = (pred[:, 0] > 0.0).astype(jnp.float32)
+            gt = mask.astype(jnp.float32)
+            if gt.ndim == 4:
+                gt = gt[:, 0] if gt.shape[1] == 1 else gt[..., 0]
+            inter = jnp.sum(pred_bin * gt, axis=(1, 2))
+            union = (jnp.sum(pred_bin, axis=(1, 2)) + jnp.sum(gt, axis=(1, 2))
+                     - inter)
+            return (jnp.sum(inter / jnp.maximum(union, 1.0)),
+                    jnp.float32(pred_bin.shape[0]))
+
+        self._iou_stats = _iou_stats
+
     def _evaluate(self, eval_step, params, state_vars, loader, shard_fn):
         """Per-epoch point-prompt validation (reference
         tools/interactive_segmentation_scripts.py:87-105: best-mask IoU over
@@ -49,14 +66,9 @@ class SAMTrainer(Trainer):
             g = shard_fn(batch)
             pred = self._predict(params, state_vars, g["image"],
                                  g["prompt_point"])       # [B,1,H,W] logits
-            pred_bin = np.asarray(pred[:, 0] > 0.0, np.float32)
-            gt = np.asarray(g["mask"], np.float32)
-            if gt.ndim == 4:
-                gt = gt[:, 0] if gt.shape[1] == 1 else gt[..., 0]
-            inter = (pred_bin * gt).sum(axis=(1, 2))
-            union = pred_bin.sum(axis=(1, 2)) + gt.sum(axis=(1, 2)) - inter
-            iou_sum += float((inter / np.maximum(union, 1.0)).sum())
-            n += pred_bin.shape[0]
+            s, c = self._iou_stats(pred, g["mask"])       # replicated scalars
+            iou_sum += float(s)
+            n += float(c)
         miou = iou_sum / max(n, 1.0)
         return {"iou": miou, "key_metric": miou}
 
