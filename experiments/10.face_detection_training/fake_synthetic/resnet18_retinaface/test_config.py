@@ -17,6 +17,8 @@ class config:
     input_image_size = getattr(_train, "input_image_size", None)
     model = _train.model
     trained_model_path = ""
+    decoder = getattr(_train, "decoder", None)
+    num_classes = getattr(_train, "num_classes", None)
 
     # explicit None checks: `x or y` would call __len__ (disk scan) at import
     test_dataset = getattr(_train, "test_dataset", None)

@@ -52,7 +52,12 @@ def evaluate_coco(model, params, state_vars, decoder, loader,
     evaluator = CocoMAPEvaluator(num_classes)
     for batch in loader:
         outs = forward(params, state_vars, jnp.asarray(batch["image"]))
-        scores, classes, boxes = decoder(outs)
+        try:
+            scores, classes, boxes = decoder(outs)
+        except TypeError:
+            # DETR-family decoders denormalise cxcywh boxes by the scaled
+            # (pre-padding) image sizes the collater records under 'size'
+            scores, classes, boxes = decoder(outs, batch["size"])
         scales = np.asarray(batch["scale"])
         annots = np.asarray(batch["annots"])
         for i in range(scores.shape[0]):

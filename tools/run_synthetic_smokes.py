@@ -46,6 +46,44 @@ CLI = {
 }
 
 
+# family -> eval CLI driven on the train smoke's checkpoint (the reference
+# train.sh/test.sh ritual). Families with loss-only training (MAE, encoder
+# distill) have no eval CLI.
+TEST_CLI = {
+    "0.classification_training": "test_classification.py",
+    "3.detection_training": "test_detection.py",
+    "4.semantic_segmentation_training": "test_semantic_segmentation.py",
+    "5.instance_segmentation_training": "test_instance_segmentation.py",
+    "6.salient_object_detection_training":
+        "test_salient_object_detection.py",
+    "7.human_matting_training": "test_human_matting.py",
+    "8.ocr_text_detection_training": "test_text_detection.py",
+    "9.ocr_text_recognition_training": "test_text_recognition.py",
+    "10.face_detection_training": "test_face_detection.py",
+    "11.face_parsing_training": "test_face_parsing.py",
+    "12.human_parsing_training": "test_human_parsing.py",
+    "13.interactive_segmentation_training/fake_synthetic/tiny_sam_matting":
+        "test_interactive_matting.py",
+    # distill checkpoints hold teacher+student trees; their eval requires
+    # extracting the student first (loss-only smokes, like the reference's
+    # objects365/MAE drivers)
+    "13.interactive_segmentation_training/fake_synthetic/tiny_sam_distill":
+        None,
+    "13.interactive_segmentation_training/fake_synthetic/tiny_sam_encoder_distill":
+        None,
+    "13.interactive_segmentation_training/fake_synthetic/tiny_sam":
+        "test_interactive_segmentation.py",
+    "20.diffusion_model_training": "test_diffusion_model.py",
+}
+
+
+def test_cli_for(rel):
+    for prefix in sorted(TEST_CLI, key=len, reverse=True):
+        if rel.startswith(prefix):
+            return TEST_CLI[prefix]
+    return None
+
+
 def cli_for(rel):
     for prefix in sorted(CLI, key=len, reverse=True):
         if rel.startswith(prefix):
@@ -88,6 +126,26 @@ def main():
             failures.append(rel)
             tail = (r.stdout + r.stderr).strip().splitlines()[-12:]
             print("      " + "\n      ".join(tail), flush=True)
+        tcli = test_cli_for(rel)
+        tcfg = os.path.join(work, "test_config.py")
+        if ok and tcli and os.path.exists(tcfg):
+            best = os.path.join(work, "checkpoints", "best")
+            if os.path.isdir(best):
+                txt = open(tcfg).read().replace(
+                    'trained_model_path = ""',
+                    f'trained_model_path = "{best}"')
+                open(tcfg, "w").write(txt)
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", tcli),
+                 "--work-dir", work],
+                env=env, capture_output=True, text=True, timeout=1500)
+            tok = r.returncode == 0
+            print(f"{'PASS' if tok else 'FAIL'}  {rel}  [{tcli}]",
+                  flush=True)
+            if not tok:
+                failures.append(rel + ":test")
+                tail = (r.stdout + r.stderr).strip().splitlines()[-12:]
+                print("      " + "\n      ".join(tail), flush=True)
         shutil.rmtree(work, ignore_errors=True)
     print(f"\n{len(smokes) - len(failures)}/{len(smokes)} smokes passed")
     sys.exit(1 if failures else 0)

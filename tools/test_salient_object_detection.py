@@ -10,7 +10,8 @@ import numpy as np
 from simpleaicv_tpu.core.engine import make_eval_step
 from simpleaicv_tpu.core.logging_utils import get_logger
 from simpleaicv_tpu.data.loader import DataLoader
-from simpleaicv_tpu.parallel.mesh import MeshConfig, batch_sharding, make_mesh
+from simpleaicv_tpu.parallel.mesh import (MeshConfig, batch_sharding,
+                                          make_mesh, replicated)
 from simpleaicv_tpu.tasks import binary_segmentation as bseg
 
 
@@ -30,6 +31,9 @@ def main():
             ckpt_path, variables["params"])}
 
     mesh = make_mesh(MeshConfig())
+    # params were initialized committed to one device; the sharded
+    # eval batches need them replicated over the mesh
+    variables = jax.device_put(variables, replicated(mesh))
     bsh = batch_sharding(mesh)
 
     def shard(batch):

@@ -12,7 +12,8 @@ from simpleaicv_tpu.core.logging_utils import get_logger
 from simpleaicv_tpu.core.profile import compute_macs_and_params, \
     format_macs_params
 from simpleaicv_tpu.data.loader import DataLoader
-from simpleaicv_tpu.parallel.mesh import MeshConfig, batch_sharding, make_mesh
+from simpleaicv_tpu.parallel.mesh import (MeshConfig, batch_sharding,
+                                          make_mesh, replicated)
 from simpleaicv_tpu.tasks import semantic_segmentation as seg
 
 
@@ -37,6 +38,9 @@ def main():
     logger.info(format_macs_params(macs, params))
 
     mesh = make_mesh(MeshConfig())
+    # params were initialized committed to one device; the sharded
+    # eval batches need them replicated over the mesh
+    variables = jax.device_put(variables, replicated(mesh))
     bsh = batch_sharding(mesh)
 
     def shard(batch):
