@@ -67,7 +67,9 @@ _MAE_VIT_RULES = [
     (r"^blocks\.(\d+)\.attn\.(qkv|proj)$", r"blocks_\1/attn/\2"),
     (r"^blocks\.(\d+)\.mlp\.(fc\d)$", r"blocks_\1/mlp/\2"),
     (r"^(fc_)?norm$", "norm"),
-    (r"^head$", "fc"),
+    # official MAE names the classifier ``head``; the reference's own ViT
+    # (simpleAICV/classification/backbones/vit.py) names it ``fc``
+    (r"^(head|fc)$", "fc"),
 ]
 
 _CONVFORMER_RULES = [
@@ -100,8 +102,58 @@ _SAPIENS_RULES = [
     (r"^head$", "fc"),
 ]
 
+# The reference's OWN ResNet naming (simpleAICV/classification/backbones/
+# resnet.py): every conv/bn pair lives in a ConvBnActBlock whose Sequential is
+# named ``layer`` (layer.0 = conv, layer.1 = bn).  Used by the cross-framework
+# parity tests, which convert real reference state_dicts.  The same trunk
+# recurs (under a ``backbone.`` prefix, fc-less) in every reference detection/
+# segmentation/OCR model, hence the prefixable helper.
+
+
+def _ref_resnet_rules(src: str = "", dst: str = "", with_fc: bool = True):
+    s, d = re.escape(src), dst
+    rules = [
+        (rf"^{s}conv1\.layer\.0$", f"{d}stem/conv"),
+        (rf"^{s}conv1\.layer\.1$", f"{d}stem/bn"),
+        (rf"^{s}layer(\d+)\.(\d+)\.conv(\d+)\.layer\.0$",
+         rf"{d}layer\1_\2/conv\3/conv"),
+        (rf"^{s}layer(\d+)\.(\d+)\.conv(\d+)\.layer\.1$",
+         rf"{d}layer\1_\2/conv\3/bn"),
+        (rf"^{s}layer(\d+)\.(\d+)\.downsample_conv\.layer\.0$",
+         rf"{d}layer\1_\2/downsample/conv"),
+        (rf"^{s}layer(\d+)\.(\d+)\.downsample_conv\.layer\.1$",
+         rf"{d}layer\1_\2/downsample/bn"),
+    ]
+    if with_fc:
+        rules.append((rf"^{s}fc$", f"{d}fc"))
+    return rules
+
+
+_REF_RESNET_RULES = _ref_resnet_rules()
+
+
+def _gn_tower(m):
+    """FCOS tower Sequential index -> our name: [conv, GN, relu]*4 so index
+    3k = conv -> {cls,reg}_head_k, 3k+1 = GN -> {cls,reg}_gn_k."""
+    prefix, idx = m.group(1), int(m.group(2))
+    kind = "head" if idx % 3 == 0 else "gn"
+    return f"clsregcnt_head/{prefix}_{kind}_{idx // 3}"
+
+
+# FCOS (simpleAICV/detection/models/fcos.py:27-92): resnet trunk + RetinaFPN
+# (P7 = Sequential(relu, conv) -> index 1) + GN tower head + per-level scales.
+_REF_FCOS_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^fpn\.(P\d_\d|P6)$", r"fpn/\1"),
+    (r"^fpn\.P7\.1$", "fpn/P7"),
+    (r"^clsregcnt_head\.(cls|reg)_head\.(\d+)$", _gn_tower),
+    (r"^clsregcnt_head\.(cls_out|reg_out|center_out)$", r"clsregcnt_head/\1"),
+    (r"^scales$", "scales"),
+]
+
 FAMILIES = {
     "torchvision_resnet": _RESNET_RULES,
+    "ref_resnet": _REF_RESNET_RULES,
+    "ref_fcos": _REF_FCOS_RULES,
     "mae_vit": _MAE_VIT_RULES,
     "convformer": _CONVFORMER_RULES,
     "inception_v3": _INCEPTION_RULES,

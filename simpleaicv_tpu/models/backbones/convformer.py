@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...core.registry import BACKBONES
-from ..common import DropPath
+from ..common import DropPath, cdtype
 
 __all__ = ["MetaFormer", "convformer_s18", "convformer_s36", "convformer_m36",
            "convformer_b36"]
@@ -38,15 +38,15 @@ class Downsampling(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.pre_norm:
-            x = _bn(train, "pre_norm")(x).astype(jnp.bfloat16)
+            x = _bn(train, "pre_norm")(x).astype(cdtype())
         p = self.padding
         x = nn.Conv(self.planes, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride),
                     padding=[(p, p), (p, p)], use_bias=True,
-                    dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                    dtype=cdtype(), param_dtype=jnp.float32,
                     name="conv")(x)
         if self.post_norm:
-            x = _bn(train, "post_norm")(x).astype(jnp.bfloat16)
+            x = _bn(train, "post_norm")(x).astype(cdtype())
         return x
 
 
@@ -58,16 +58,16 @@ class SepConv(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         mid = int(self.expand_ratio * c)
-        x = nn.Dense(mid, use_bias=False, dtype=jnp.bfloat16,
+        x = nn.Dense(mid, use_bias=False, dtype=cdtype(),
                      param_dtype=jnp.float32, name="pwconv1")(x)
         x = nn.relu(x)
         k = self.kernel_size
         pad = (k - 1) // 2
         x = nn.Conv(mid, (k, k), padding=[(pad, pad), (pad, pad)],
                     feature_group_count=mid, use_bias=False,
-                    dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                    dtype=cdtype(), param_dtype=jnp.float32,
                     name="dwconv")(x)
-        x = nn.Dense(c, use_bias=False, dtype=jnp.bfloat16,
+        x = nn.Dense(c, use_bias=False, dtype=cdtype(),
                      param_dtype=jnp.float32, name="pwconv2")(x)
         return x
 
@@ -80,12 +80,12 @@ class Mlp(nn.Module):
     def __call__(self, x, train: bool = False):
         c = x.shape[-1]
         x = nn.Dense(int(self.mlp_ratio * c), use_bias=False,
-                     dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                     dtype=cdtype(), param_dtype=jnp.float32,
                      name="fc1")(x)
         x = nn.relu(x)
         if self.dropout_prob > 0.0:
             x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
-        x = nn.Dense(c, use_bias=False, dtype=jnp.bfloat16,
+        x = nn.Dense(c, use_bias=False, dtype=cdtype(),
                      param_dtype=jnp.float32, name="fc2")(x)
         if self.dropout_prob > 0.0:
             x = nn.Dropout(self.dropout_prob, deterministic=not train)(x)
@@ -98,10 +98,10 @@ class MetaFormerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = _bn(train, "norm1")(x).astype(jnp.bfloat16)
+        h = _bn(train, "norm1")(x).astype(cdtype())
         h = SepConv(name="token_mixer")(h)
         x = x + DropPath(self.drop_path_prob)(h.astype(x.dtype), train)
-        h = _bn(train, "norm2")(x).astype(jnp.bfloat16)
+        h = _bn(train, "norm2")(x).astype(cdtype())
         h = Mlp(dropout_prob=self.dropout_prob, name="mlp")(h, train)
         x = x + DropPath(self.drop_path_prob)(h.astype(x.dtype), train)
         return x

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...core.registry import BACKBONES
-from ..common import ConvBnAct, global_avg_pool, max_pool_same, maybe_remat
+from ..common import ConvBnAct, Dtype, dtype_field, global_avg_pool, max_pool_same, maybe_remat
 
 __all__ = ["ResNet", "resnet18", "resnet34", "resnet50", "resnet101",
            "resnet152"]
@@ -24,7 +24,7 @@ __all__ = ["ResNet", "resnet18", "resnet34", "resnet50", "resnet101",
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
-    dtype = jnp.bfloat16
+    dtype: Dtype = dtype_field()
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...core.registry import BACKBONES
-from ..common import DropPath
+from ..common import DropPath, cdtype
 
 __all__ = ["VAN", "van_b0", "van_b1", "van_b2", "van_b3", "van_b4", "van_b5",
            "van_b6"]
@@ -28,7 +28,7 @@ def _conv(planes, k, stride=1, pad=0, groups=1, dilation=1, name=None):
                    padding=[(pad, pad), (pad, pad)],
                    feature_group_count=groups,
                    kernel_dilation=(dilation, dilation), use_bias=True,
-                   dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name)
+                   dtype=cdtype(), param_dtype=jnp.float32, name=name)
 
 
 class LKA(nn.Module):
@@ -87,10 +87,10 @@ class VANBlock(nn.Module):
                          nn.initializers.constant(1e-5), (c,), jnp.float32)
         ls2 = self.param("layer_scale_2",
                          nn.initializers.constant(1e-5), (c,), jnp.float32)
-        h = _bn(train, "norm1")(x).astype(jnp.bfloat16)
+        h = _bn(train, "norm1")(x).astype(cdtype())
         h = VANAttention(name="attn")(h)
         x = x + DropPath(self.drop_path_prob)((ls1 * h).astype(x.dtype), train)
-        h = _bn(train, "norm2")(x).astype(jnp.bfloat16)
+        h = _bn(train, "norm2")(x).astype(cdtype())
         h = VANMlp(int(c * self.mlp_ratio), self.dropout_prob,
                    name="mlp")(h, train)
         x = x + DropPath(self.drop_path_prob)((ls2 * h).astype(x.dtype), train)
@@ -107,7 +107,7 @@ class OverlapPatchEmbed(nn.Module):
         pad = self.patch_size // 2
         x = _conv(self.planes, self.patch_size, self.stride, pad,
                   name="proj")(x)
-        x = _bn(train, "norm")(x).astype(jnp.bfloat16)
+        x = _bn(train, "norm")(x).astype(cdtype())
         return x
 
 
@@ -144,7 +144,7 @@ class VAN(nn.Module):
                 x = block_cls(ratio, self.dropout_prob, dpp[idx],
                               name=f"block{i + 1}_{j}")(x, train)
                 idx += 1
-            x = _bn(train, f"norm{i + 1}")(x).astype(jnp.bfloat16)
+            x = _bn(train, f"norm{i + 1}")(x).astype(cdtype())
             features.append(x)
 
         if self.features_only:

@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...core.registry import BACKBONES
-from ..common import DropPath
+from ..common import DropPath, Dtype, cdtype, dtype_field
 
 __all__ = [
     "ViT", "vit_base_patch16", "vit_large_patch16", "vit_huge_patch14",
@@ -27,7 +27,7 @@ class MultiHeadAttention(nn.Module):
     head_nums: int
     dropout_prob: float = 0.0
     use_flash_attention: bool = False
-    dtype = jnp.bfloat16
+    dtype: Dtype = dtype_field()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -67,7 +67,7 @@ class MultiHeadAttention(nn.Module):
 class FeedForward(nn.Module):
     hidden: int
     dropout_prob: float = 0.0
-    dtype = jnp.bfloat16
+    dtype: Dtype = dtype_field()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -97,11 +97,11 @@ class TransformerEncoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = MultiHeadAttention(self.head_nums, self.dropout_prob,
                                self.use_flash_attention,
-                               name="attn")(h.astype(jnp.bfloat16), train)
+                               name="attn")(h.astype(cdtype()), train)
         x = x + DropPath(self.drop_path_prob)(h.astype(x.dtype), train)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = FeedForward(int(c * self.feedforward_ratio), self.dropout_prob,
-                        name="mlp")(h.astype(jnp.bfloat16), train)
+                        name="mlp")(h.astype(cdtype()), train)
         x = x + DropPath(self.drop_path_prob)(h.astype(x.dtype), train)
         return x
 
@@ -126,7 +126,7 @@ class ViT(nn.Module):
         c = self.embedding_planes
         x = nn.Conv(c, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=jnp.bfloat16,
+                    padding="VALID", dtype=cdtype(),
                     param_dtype=jnp.float32, name="patch_embedding")(x)
         x = x.reshape(b, -1, c)
 

@@ -14,6 +14,7 @@ TPU-first conventions used across the whole model zoo:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -21,6 +22,30 @@ import jax
 import jax.numpy as jnp
 
 Dtype = Any
+
+# Global compute dtype for the model zoo. bf16 by default (MXU full rate);
+# the reference-parity tests flip it to f32 (set_compute_dtype) so flax
+# outputs can be compared to the reference's torch-f32 models at tight
+# tolerance. Resolved at *trace/instantiation* time: module dtype fields use
+# ``dtype_field()`` (a dataclasses default_factory) and call-time literals use
+# ``cdtype()``, so a set_compute_dtype() before init/apply takes effect
+# everywhere without threading a dtype argument through every model.
+_COMPUTE_DTYPE = jnp.bfloat16
+
+
+def set_compute_dtype(dtype):
+    global _COMPUTE_DTYPE
+    _COMPUTE_DTYPE = dtype
+
+
+def cdtype():
+    """The current global compute dtype (call-time resolution)."""
+    return _COMPUTE_DTYPE
+
+
+def dtype_field():
+    """A flax Module field defaulting to the global compute dtype."""
+    return dataclasses.field(default_factory=cdtype)
 
 # BatchNorm compute dtype. Stats/params stay f32 either way (param_dtype);
 # bf16 normalization math keeps the whole residual path on the MXU/VPU fast
@@ -65,7 +90,7 @@ class ConvBnAct(nn.Module):
     has_bn: bool = True
     has_act: bool = True
     act: Callable = nn.relu
-    dtype: Dtype = jnp.bfloat16
+    dtype: Dtype = dtype_field()
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -6,13 +6,14 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from ..common import cdtype
 
 
 def _conv(planes, k, stride=1, name=None):
     pad = (k - 1) // 2
     return nn.Conv(planes, (k, k), strides=(stride, stride),
                    padding=[(pad, pad), (pad, pad)], use_bias=True,
-                   dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name)
+                   dtype=cdtype(), param_dtype=jnp.float32, name=name)
 
 
 def _upsample_to(x, h, w):

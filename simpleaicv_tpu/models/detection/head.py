@@ -8,6 +8,7 @@ import math
 
 import flax.linen as nn
 import jax.numpy as jnp
+from ..common import cdtype
 
 PRIOR_BIAS = -math.log((1 - 0.01) / 0.01)
 
@@ -17,7 +18,7 @@ def _conv(planes, use_bias=True, bias_init=0.0, name=None):
                    use_bias=use_bias,
                    kernel_init=nn.initializers.normal(0.01),
                    bias_init=nn.initializers.constant(bias_init),
-                   dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name)
+                   dtype=cdtype(), param_dtype=jnp.float32, name=name)
 
 
 class RetinaClsHead(nn.Module):
@@ -63,7 +64,7 @@ class FCOSClsRegCntHead(nn.Module):
             if self.use_gn:
                 cls_x = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
                                      name=f"cls_gn_{i}")(cls_x)
-                cls_x = cls_x.astype(jnp.bfloat16)
+                cls_x = cls_x.astype(cdtype())
             cls_x = nn.relu(cls_x)
         reg_x = x
         for i in range(self.num_layers):
@@ -72,7 +73,7 @@ class FCOSClsRegCntHead(nn.Module):
             if self.use_gn:
                 reg_x = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
                                      name=f"reg_gn_{i}")(reg_x)
-                reg_x = reg_x.astype(jnp.bfloat16)
+                reg_x = reg_x.astype(cdtype())
             reg_x = nn.relu(reg_x)
 
         cls_out = _conv(self.num_classes, bias_init=PRIOR_BIAS,

@@ -9,6 +9,7 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from ..common import cdtype
 
 from ...core.registry import BACKBONES, MODELS
 from ..detection.fpn import _upsample_to
@@ -21,7 +22,7 @@ __all__ = ["SOLOV2", "resnet18_solov2", "resnet34_solov2", "resnet50_solov2",
 def _conv(planes, k=3, name=None, bias=True):
     pad = (k - 1) // 2
     return nn.Conv(planes, (k, k), padding=[(pad, pad), (pad, pad)],
-                   use_bias=bias, dtype=jnp.bfloat16,
+                   use_bias=bias, dtype=cdtype(),
                    param_dtype=jnp.float32, name=name)
 
 
@@ -34,7 +35,7 @@ class ConvGnAct(nn.Module):
     def __call__(self, x):
         x = _conv(self.planes, self.kernel_size, name="conv", bias=False)(x)
         x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn")(x)
-        x = x.astype(jnp.bfloat16)
+        x = x.astype(cdtype())
         return nn.relu(x) if self.has_act else x
 
 
@@ -54,7 +55,7 @@ class SOLOV2FPN(nn.Module):
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         laterals = [
-            nn.Conv(self.planes, (1, 1), use_bias=True, dtype=jnp.bfloat16,
+            nn.Conv(self.planes, (1, 1), use_bias=True, dtype=cdtype(),
                     param_dtype=jnp.float32,
                     name=f"lateral_{i}")(c) for i, c in enumerate(inputs)]
         for i in range(len(inputs) - 1, 0, -1):

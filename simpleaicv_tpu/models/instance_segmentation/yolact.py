@@ -10,6 +10,7 @@ from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from ..common import cdtype
 import numpy as np
 
 from ...core.registry import BACKBONES, MODELS
@@ -56,7 +57,7 @@ def _conv(planes, k=3, name=None):
     pad = (k - 1) // 2
     return nn.Conv(planes, (k, k), padding=[(pad, pad), (pad, pad)],
                    use_bias=True, kernel_init=nn.initializers.normal(0.01),
-                   dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name)
+                   dtype=cdtype(), param_dtype=jnp.float32, name=name)
 
 
 class ProtoNet(nn.Module):

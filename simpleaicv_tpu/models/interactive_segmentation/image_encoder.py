@@ -16,6 +16,7 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from ..common import cdtype
 
 __all__ = ["ViTImageEncoder"]
 
@@ -82,7 +83,7 @@ class RelPosAttention(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         head_dim = c // self.head_nums
-        qkv = nn.Dense(3 * c, dtype=jnp.bfloat16, param_dtype=jnp.float32,
+        qkv = nn.Dense(3 * c, dtype=cdtype(), param_dtype=jnp.float32,
                        name="qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, self.head_nums, head_dim)
         qkv = qkv.transpose(2, 0, 3, 1, 4).reshape(3, b * self.head_nums,
@@ -116,13 +117,13 @@ class RelPosAttention(nn.Module):
             attn = add_decomposed_rel_pos(attn, q.astype(jnp.float32),
                                           rel_pos_h, rel_pos_w, (h, w),
                                           (h, w))
-            attn = jax.nn.softmax(attn, axis=-1).astype(jnp.bfloat16)
+            attn = jax.nn.softmax(attn, axis=-1).astype(cdtype())
             out = jnp.einsum("bnm,bmd->bnd", attn, v,
                              preferred_element_type=jnp.float32)
         out = out.reshape(b, self.head_nums, h, w, head_dim)
         out = out.transpose(0, 2, 3, 1, 4).reshape(b, h, w, c)
-        return nn.Dense(c, dtype=jnp.bfloat16, param_dtype=jnp.float32,
-                        name="proj")(out.astype(jnp.bfloat16))
+        return nn.Dense(c, dtype=cdtype(), param_dtype=jnp.float32,
+                        name="proj")(out.astype(cdtype()))
 
 
 class EncoderBlock(nn.Module):
@@ -137,7 +138,7 @@ class EncoderBlock(nn.Module):
         del train
         shortcut = x
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = h.astype(jnp.bfloat16)
+        h = h.astype(cdtype())
         if self.window_size > 0:
             hh, ww = h.shape[1], h.shape[2]
             h, pad_hw = window_partition(h, self.window_size)
@@ -151,11 +152,11 @@ class EncoderBlock(nn.Module):
         x = shortcut + h.astype(shortcut.dtype)
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        h = nn.Dense(int(x.shape[-1] * self.mlp_ratio), dtype=jnp.bfloat16,
+        h = nn.Dense(int(x.shape[-1] * self.mlp_ratio), dtype=cdtype(),
                      param_dtype=jnp.float32, name="mlp_lin1")(
-            h.astype(jnp.bfloat16))
+            h.astype(cdtype()))
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(x.shape[-1], dtype=jnp.bfloat16,
+        h = nn.Dense(x.shape[-1], dtype=cdtype(),
                      param_dtype=jnp.float32, name="mlp_lin2")(h)
         return x + h.astype(x.dtype)
 
@@ -195,7 +196,7 @@ class ViTImageEncoder(nn.Module):
         x = nn.Conv(self.embedding_planes,
                     (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
-                    padding="VALID", dtype=jnp.bfloat16,
+                    padding="VALID", dtype=cdtype(),
                     param_dtype=jnp.float32, name="patch_embed")(x)
         pos = self.param("pos_embed", nn.initializers.zeros,
                          (1, g, g, self.embedding_planes), jnp.float32)
@@ -212,12 +213,12 @@ class ViTImageEncoder(nn.Module):
                           name=f"blocks_{i}")(x, train)
 
         x = nn.Conv(self.out_planes, (1, 1), use_bias=False,
-                    dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                    dtype=cdtype(), param_dtype=jnp.float32,
                     name="neck_conv1")(x)
         x = LayerNormChannelsLast(name="neck_ln1")(x)
         x = nn.Conv(self.out_planes, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=jnp.bfloat16,
+                    use_bias=False, dtype=cdtype(),
                     param_dtype=jnp.float32,
-                    name="neck_conv2")(x.astype(jnp.bfloat16))
+                    name="neck_conv2")(x.astype(cdtype()))
         x = LayerNormChannelsLast(name="neck_ln2")(x)
         return x  # [B, g, g, out_planes]

@@ -11,6 +11,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from ..common import cdtype
 
 from ...core.registry import BACKBONES, MODELS
 from ..detection.fpn import _upsample_to
@@ -37,13 +38,13 @@ class SAMFPN(nn.Module):
         outs = []
         for i, c in enumerate([c2, c3, c4, c5]):
             x = nn.Conv(self.out_planes, (1, 1), use_bias=False,
-                        dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                        dtype=cdtype(), param_dtype=jnp.float32,
                         name=f"lateral_{i}")(c)
             x = _upsample_to(x, h, w)
             outs.append(x)
         x = sum(outs)
         x = nn.Conv(self.out_planes, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=jnp.bfloat16,
+                    use_bias=False, dtype=cdtype(),
                     param_dtype=jnp.float32, name="fuse_conv")(x)
         return LayerNormChannelsLast(name="fuse_ln")(x)
 

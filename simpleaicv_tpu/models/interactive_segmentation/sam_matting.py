@@ -28,6 +28,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from ..common import cdtype
 
 from ...core.registry import MODELS
 from .sam import SAM
@@ -41,7 +42,7 @@ __all__ = ["SAMMatting", "FusionHead",
 def _conv(x, planes, name, kernel=3):
     pad = (kernel - 1) // 2
     return nn.Conv(planes, (kernel, kernel), padding=[(pad, pad), (pad, pad)],
-                   dtype=jnp.bfloat16, param_dtype=jnp.float32, name=name)(x)
+                   dtype=cdtype(), param_dtype=jnp.float32, name=name)(x)
 
 
 def _up2x(x):
@@ -62,7 +63,7 @@ class FusionHead(nn.Module):
         f3g = _conv(feat3, p, "global_feat3_reduce")
         f3g = jax.image.resize(f3g, (f3g.shape[0], h, w, p), "bilinear")
         f1g = nn.relu(_conv(feat1, p, "global_feat1_reduce"))
-        g = jnp.concatenate([f1g, f3g, masks.astype(jnp.bfloat16)], axis=-1)
+        g = jnp.concatenate([f1g, f3g, masks.astype(cdtype())], axis=-1)
         g = nn.relu(_conv(g, 2 * p, "global_combine"))
         g = nn.relu(_conv(g, p, "global_reduce"))
         g = nn.relu(_conv(_up2x(g), p, "global_up1"))
@@ -75,7 +76,7 @@ class FusionHead(nn.Module):
         f3l = jax.image.resize(f3l, (f3l.shape[0], h, w, p), "bilinear")
         f1l = nn.relu(_conv(feat1, p, "local_feat1_reduce"))
         l = jnp.concatenate([f1l, f3l, f1g, f3g,
-                             masks.astype(jnp.bfloat16)], axis=-1)
+                             masks.astype(cdtype())], axis=-1)
         l = nn.relu(_conv(l, 2 * p, "local_combine"))
         l = nn.relu(_conv(l, p, "local_reduce"))
         l = nn.relu(_conv(_up2x(l), p, "local_up1"))

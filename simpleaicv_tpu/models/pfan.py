@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.registry import BACKBONES, MODELS
-from .common import ConvBnAct
+from .common import ConvBnAct, cdtype
 from .detection.fpn import _upsample_to
 
 __all__ = ["PFANSegmentation", "PFANMatting", "PFANParsing"]
@@ -33,10 +33,10 @@ class CPFE(nn.Module):
         def dil_conv(d, name):
             return nn.Conv(self.planes, (3, 3), padding=[(d, d), (d, d)],
                            kernel_dilation=(d, d), use_bias=False,
-                           dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                           dtype=cdtype(), param_dtype=jnp.float32,
                            name=name)
 
-        x1 = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=jnp.bfloat16,
+        x1 = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=cdtype(),
                      param_dtype=jnp.float32, name="conv_1_1")(x)
         x3 = dil_conv(3, "conv_dil_3")(x)
         x5 = dil_conv(5, "conv_dil_5")(x)
@@ -51,12 +51,12 @@ class ConvTBnAct(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.ConvTranspose(self.planes, (2, 2), strides=(2, 2),
-                             use_bias=False, dtype=jnp.bfloat16,
+                             use_bias=False, dtype=cdtype(),
                              param_dtype=jnp.float32, name="convt")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="bn")(x)
-        return nn.relu(x.astype(jnp.bfloat16))
+        return nn.relu(x.astype(cdtype()))
 
 
 class _PFANDecoder(nn.Module):

@@ -8,6 +8,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from .common import cdtype
 
 from ..core.registry import BACKBONES, MODELS
 from .backbones.vit import TransformerEncoderLayer
@@ -35,7 +36,7 @@ class SapiensParsing(nn.Module):
         b = x.shape[0]
         # run the ViT trunk manually to keep spatial tokens
         feat = nn.Conv(c, (patch, patch), strides=(patch, patch),
-                       padding="VALID", dtype=jnp.bfloat16,
+                       padding="VALID", dtype=cdtype(),
                        param_dtype=jnp.float32, name="patch_embedding")(x)
         gh, gw = feat.shape[1], feat.shape[2]
         feat = feat.reshape(b, gh * gw, c)

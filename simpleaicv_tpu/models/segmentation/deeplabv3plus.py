@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+from ..common import cdtype
 
 from ...core.registry import BACKBONES, MODELS
 from ..detection.fpn import _upsample_to
@@ -36,12 +37,12 @@ class ConvBnAct(nn.Module):
         x = nn.Conv(planes, (k, k), padding=[(pad, pad), (pad, pad)],
                     kernel_dilation=(self.dilation, self.dilation),
                     feature_group_count=groups, use_bias=False,
-                    dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                    dtype=cdtype(), param_dtype=jnp.float32,
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="bn")(x)
-        return nn.relu(x.astype(jnp.bfloat16))
+        return nn.relu(x.astype(cdtype()))
 
 
 class LightConv(nn.Module):
@@ -67,7 +68,7 @@ class ASPPBlock(nn.Module):
         d = (12, 24, 36) if self.output_stride == 8 else (6, 12, 18)
         pool = jnp.mean(x.astype(jnp.float32), axis=(1, 2), keepdims=True)
         pool = ConvBnAct(self.planes, 1, name="pooling_conv")(
-            pool.astype(jnp.bfloat16), train)
+            pool.astype(cdtype()), train)
         pool = jnp.broadcast_to(pool, (x.shape[0], x.shape[1], x.shape[2],
                                        self.planes))
         x0 = ConvBnAct(self.planes, 1, name="aspp0")(x, train)

@@ -9,7 +9,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..core.registry import BACKBONES, MODELS
-from .common import ConvBnAct
+from .common import ConvBnAct, cdtype
 from .detection.fpn import _upsample_to
 
 __all__ = ["DBNet", "resnet18_dbnet", "resnet34_dbnet", "resnet50_dbnet",
@@ -52,12 +52,12 @@ class _UpHead(nn.Module):
         q = x.shape[-1] // 4
         x = ConvBnAct(q, 3, name="conv")(x, train)
         x = nn.ConvTranspose(q, (2, 2), strides=(2, 2), use_bias=False,
-                             dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                             dtype=cdtype(), param_dtype=jnp.float32,
                              name="convt1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32,
                          param_dtype=jnp.float32, name="bn1")(x)
-        x = nn.relu(x.astype(jnp.bfloat16))
+        x = nn.relu(x.astype(cdtype()))
         x = nn.ConvTranspose(1, (2, 2), strides=(2, 2), use_bias=True,
                              dtype=jnp.float32, param_dtype=jnp.float32,
                              name="convt2")(x)

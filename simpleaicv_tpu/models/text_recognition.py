@@ -13,6 +13,7 @@ from typing import Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from .common import cdtype
 
 from ..core.registry import BACKBONES, MODELS
 from .backbones.vit import TransformerEncoderLayer
@@ -44,7 +45,7 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = x.astype(jnp.bfloat16)
+        x = x.astype(cdtype())
         for i in range(self.block_nums):
             x = TransformerEncoderLayer(self.head_nums,
                                         self.feedforward_ratio,

@@ -15,6 +15,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from .common import cdtype
 import numpy as np
 
 from ..core.registry import MODELS
@@ -81,7 +82,7 @@ class VITMAEPretrainModel(nn.Module):
 
         # ---- encoder ----
         x = nn.Conv(ce, (p, p), strides=(p, p), padding="VALID",
-                    dtype=jnp.bfloat16, param_dtype=jnp.float32,
+                    dtype=cdtype(), param_dtype=jnp.float32,
                     name="patch_embedding")(images)
         x = x.reshape(b, n_patches, ce)
 
@@ -114,8 +115,8 @@ class VITMAEPretrainModel(nn.Module):
                          name="encoder_norm")(x)
 
         # ---- encoder -> decoder ----
-        x = nn.Dense(cd, dtype=jnp.bfloat16, param_dtype=jnp.float32,
-                     name="encoder_to_decoder")(x.astype(jnp.bfloat16))
+        x = nn.Dense(cd, dtype=cdtype(), param_dtype=jnp.float32,
+                     name="encoder_to_decoder")(x.astype(cdtype()))
 
         # ---- decoder: re-insert mask tokens, unshuffle ----
         mask_token = self.param("mask_token", nn.initializers.normal(0.02),

@@ -1,0 +1,117 @@
+"""Cross-framework numeric parity against the ACTUAL reference implementation.
+
+Each test instantiates a real torch module from /root/reference on CPU,
+exports its (seeded random-init) ``state_dict``, converts it with
+``core/converters.py``, loads it into the corresponding flax model, and
+asserts the two frameworks produce the same outputs on a shared fixture
+batch.  This validates, in one stroke: the converter name-maps on *genuine*
+state_dicts, the model ports' math, and (where losses/decodes are compared)
+the train-step chain.  Reference: e.g.
+simpleAICV/classification/backbones/resnet.py:248-271.
+
+Models run in f32 (set_compute_dtype) so the comparison is exact-math, not
+bf16-noise; tolerances absorb conv-layout/accumulation-order differences.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tests._reference import (ref_module, seed_all, state_dict_numpy,
+                              to_torch_nchw, torch)
+
+from simpleaicv_tpu.core.converters import (apply_converted,
+                                            convert_official_state_dict)
+from simpleaicv_tpu.models import common as model_common
+
+
+@pytest.fixture(autouse=True)
+def _f32_models():
+    model_common.set_compute_dtype(jnp.float32)
+    yield
+    model_common.set_compute_dtype(jnp.bfloat16)
+
+
+def _load(flax_model, init_args, sd, family, min_loaded):
+    variables = flax_model.init(jax.random.PRNGKey(0), *init_args)
+    converted = convert_official_state_dict(sd, family)
+    variables, n = apply_converted(variables, converted)
+    assert n >= min_loaded, f"only {n} tensors loaded (< {min_loaded})"
+    # every reference tensor must have found a home: count convertible leaves
+    n_src = sum(1 for k in sd if not k.endswith("num_batches_tracked"))
+    assert n == n_src, f"loaded {n} of {n_src} reference tensors"
+    return variables
+
+
+def _close(ours, theirs, atol=2e-4, rtol=2e-3, msg=""):
+    np.testing.assert_allclose(np.asarray(ours, np.float32),
+                               np.asarray(theirs, np.float32),
+                               atol=atol, rtol=rtol, err_msg=msg)
+
+
+# ---------------------------------------------------------------- resnet ----
+
+@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+def test_resnet_classification_parity(name):
+    ref = ref_module("simpleAICV.classification.backbones.resnet")
+    seed_all(0)
+    tm = getattr(ref, name)(num_classes=37).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.backbones import resnet as ours
+    fm = getattr(ours, name)(num_classes=37)
+    x = np.random.RandomState(1).rand(2, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_resnet", 50)
+
+    y_ours = np.asarray(fm.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = tm(to_torch_nchw(x)).numpy()
+    _close(y_ours, y_ref, msg=f"{name} logits")
+
+
+# ------------------------------------------------------------------- vit ----
+
+def test_vit_classification_parity():
+    ref = ref_module("simpleAICV.classification.backbones.vit")
+    seed_all(0)
+    tm = ref.vit_base_patch16(image_size=64, num_classes=13).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.backbones.vit import vit_base_patch16
+    fm = vit_base_patch16(image_size=64, num_classes=13)
+    x = np.random.RandomState(2).rand(2, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "mae_vit", 100)
+
+    y_ours = np.asarray(fm.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        y_ref = tm(to_torch_nchw(x)).numpy()
+    _close(y_ours, y_ref, msg="vit_b16 logits")
+
+
+# ------------------------------------------------------------------ fcos ----
+
+def test_fcos_parity():
+    ref = ref_module("simpleAICV.detection.models.fcos")
+    seed_all(0)
+    tm = ref.resnet50_fcos(num_classes=20).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.detection.fcos import resnet50_fcos
+    fm = resnet50_fcos(num_classes=20)
+    x = np.random.RandomState(3).rand(2, 160, 160, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_fcos", 100)
+
+    cls_o, reg_o, cnt_o = fm.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        cls_r, reg_r, cnt_r = tm(to_torch_nchw(x))
+    assert len(cls_o) == len(cls_r) == 5
+    for lvl in range(5):
+        _close(cls_o[lvl], cls_r[lvl].numpy(), atol=1e-4,
+               msg=f"fcos cls level {lvl}")
+        _close(reg_o[lvl], reg_r[lvl].numpy(), atol=5e-4,
+               msg=f"fcos reg level {lvl}")
+        _close(cnt_o[lvl], cnt_r[lvl].numpy(), atol=1e-4,
+               msg=f"fcos centerness level {lvl}")
