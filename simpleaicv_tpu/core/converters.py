@@ -41,6 +41,12 @@ def _to_jax_layout(path: str, suffix: str, arr: np.ndarray
     if suffix == "bias":
         return "params", "bias", arr
     if suffix == "weight":
+        if arr.ndim == 4 and path.endswith("convt"):
+            # torch ConvTranspose2d IOHW -> flax ConvTranspose HWIO, spatially
+            # flipped (verified numerically: lax.conv_transpose does not
+            # mirror the kernel, torch does)
+            return ("params", "kernel",
+                    np.ascontiguousarray(arr.transpose(2, 3, 0, 1)[::-1, ::-1]))
         if arr.ndim == 4:                       # conv OIHW -> HWIO
             return "params", "kernel", arr.transpose(2, 3, 1, 0)
         if arr.ndim == 2:                       # linear [o,i] -> [i,o]
@@ -140,6 +146,16 @@ def _gn_tower(m):
     return f"clsregcnt_head/{prefix}_{kind}_{idx // 3}"
 
 
+# RetinaNet (simpleAICV/detection/models/retinanet.py:27-140): towers are
+# Sequential [conv, relu]*4 so index 2k = conv.
+_REF_RETINANET_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^fpn\.(P\d_\d|P6)$", r"fpn/\1"),
+    (r"^fpn\.P7\.1$", "fpn/P7"),
+    (r"^(cls|reg)_head\.\1_head\.(\d+)$",
+     lambda m: f"{m.group(1)}_head/{m.group(1)}_head_{int(m.group(2)) // 2}"),
+    (r"^(cls|reg)_head\.\1_out$", r"\1_head/\1_out"),
+]
+
 # FCOS (simpleAICV/detection/models/fcos.py:27-92): resnet trunk + RetinaFPN
 # (P7 = Sequential(relu, conv) -> index 1) + GN tower head + per-level scales.
 _REF_FCOS_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
@@ -150,10 +166,75 @@ _REF_FCOS_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^scales$", "scales"),
 ]
 
+def _cb(idx: str) -> str:
+    """ConvBnActBlock Sequential index -> our submodule name."""
+    return "conv" if idx == "0" else "bn"
+
+
+def _dwpw(idx: str) -> str:
+    """LightConvBlock layers index -> our submodule name (0=dw, 1=pw)."""
+    return "dw" if idx == "0" else "pw"
+
+
+# DeepLabV3+ (simpleAICV/semantic_segmentation/models/deeplabv3plus.py:99-232):
+# per-stage ASPP heads; LightConvBlock = Sequential(dw ConvBnAct, pw
+# ConvBnAct); pooling = Sequential(AdaptiveAvgPool, ConvBnAct).
+_REF_DEEPLAB_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^head\.aspp(\d)\.aspp0\.layer\.([01])$",
+     lambda m: f"head/aspp{m.group(1)}/aspp0/{_cb(m.group(2))}"),
+    (r"^head\.aspp(\d)\.aspp(\d)\.layers\.([01])\.layer\.([01])$",
+     lambda m: (f"head/aspp{m.group(1)}/aspp{m.group(2)}/"
+                f"{_dwpw(m.group(3))}/{_cb(m.group(4))}")),
+    (r"^head\.aspp(\d)\.pooling\.1\.layer\.([01])$",
+     lambda m: f"head/aspp{m.group(1)}/pooling_conv/{_cb(m.group(2))}"),
+    (r"^head\.aspp(\d)\.fuse_conv\.layer\.([01])$",
+     lambda m: f"head/aspp{m.group(1)}/fuse_conv/{_cb(m.group(2))}"),
+    (r"^head\.fuse_conv\.([01])\.layers\.([01])\.layer\.([01])$",
+     lambda m: (f"head/fuse_conv_{m.group(1)}/{_dwpw(m.group(2))}/"
+                f"{_cb(m.group(3))}")),
+    (r"^head\.predict_conv$", "head/predict_conv"),
+]
+
+def _pfan_decoder_rules(src: str, dst: str):
+    """PFAN decoder block (salient_object_detection/models/
+    pfan_segmentation.py:155-262; human_matting/models/pfan_matting.py uses
+    the same modules under global_/local_ prefixes).  upsample_conv1/3 are
+    ConvTransposeBnActBlocks -> our ``convt`` (layout-flipped in
+    _to_jax_layout)."""
+    s = re.escape(src)
+    return [
+        (rf"^{s}(high_level_cpfe_[34])\.(conv_1_1|conv_dil_\d)$",
+         lambda m, d=dst: f"{d}{m.group(1)}/{m.group(2)}"),
+        (rf"^{s}(high_level_cpfe_[34])\.conv\.layer\.([01])$",
+         lambda m, d=dst: f"{d}{m.group(1)}/conv/{_cb(m.group(2))}"),
+        (rf"^{s}(high_level_conv|low_level_conv(?:_\d)?|reduce_conv1|"
+         rf"upsample_conv2)\.layer\.([01])$",
+         lambda m, d=dst: f"{d}{m.group(1)}/{_cb(m.group(2))}"),
+        (rf"^{s}(upsample_conv[13])\.layer\.([01])$",
+         lambda m, d=dst: (f"{d}{m.group(1)}/"
+                           + ("convt" if m.group(2) == "0" else "bn"))),
+    ]
+
+
+_REF_PFAN_SEG_RULES = (
+    _ref_resnet_rules("backbone.", "backbone/", False)
+    + _pfan_decoder_rules("", "decoder/")
+    + [(r"^pred_conv$", "pred_conv")])
+
+_REF_PFAN_MATTING_RULES = (
+    _ref_resnet_rules("backbone.", "backbone/", False)
+    + _pfan_decoder_rules("global_", "global_decoder/")
+    + _pfan_decoder_rules("local_", "local_decoder/")
+    + [(r"^(global|local)_pred_conv$", r"\1_pred_conv")])
+
 FAMILIES = {
     "torchvision_resnet": _RESNET_RULES,
     "ref_resnet": _REF_RESNET_RULES,
     "ref_fcos": _REF_FCOS_RULES,
+    "ref_retinanet": _REF_RETINANET_RULES,
+    "ref_deeplab": _REF_DEEPLAB_RULES,
+    "ref_pfan_segmentation": _REF_PFAN_SEG_RULES,
+    "ref_pfan_matting": _REF_PFAN_MATTING_RULES,
     "mae_vit": _MAE_VIT_RULES,
     "convformer": _CONVFORMER_RULES,
     "inception_v3": _INCEPTION_RULES,

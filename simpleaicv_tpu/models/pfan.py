@@ -60,12 +60,17 @@ class ConvTBnAct(nn.Module):
 
 
 class _PFANDecoder(nn.Module):
-    """Shared PFAN decoder: (C1..C4) -> fused C1-res feature -> 4x upsample."""
+    """Shared PFAN decoder: (C1..C4) -> fused C1-res feature -> 4x upsample.
+
+    ``cross`` implements the matting local branch's fusion with the global
+    branch (reference human_matting/models/pfan_matting.py:439-461: the local
+    high feature is concatenated with the global one, and the reduce conv
+    additionally sees the global low feature — 128 input channels)."""
     cpfe_planes: int = 32
     prefix: str = ""
 
     @nn.compact
-    def __call__(self, features, train: bool = False):
+    def __call__(self, features, train: bool = False, cross=None):
         c1, c2, c3, c4 = features
         h1, w1 = c1.shape[1], c1.shape[2]
         f4 = CPFE(self.cpfe_planes, name="high_level_cpfe_4")(c4, train)
@@ -75,6 +80,9 @@ class _PFANDecoder(nn.Module):
                          name="high_level_conv")(
             jnp.concatenate([f3, f4], -1), train)
         high = _upsample_to(high, h1, w1)
+        mid = {"conv_34": high}
+        if cross is not None:
+            high = jnp.concatenate([high, cross["conv_34"]], -1)
 
         f1 = ConvBnAct(self.cpfe_planes, 3, name="low_level_conv_1")(c1, train)
         f2 = ConvBnAct(self.cpfe_planes, 3, name="low_level_conv_2")(c2, train)
@@ -82,13 +90,18 @@ class _PFANDecoder(nn.Module):
         low = ConvBnAct(self.cpfe_planes, 1, has_act=False,
                         name="low_level_conv")(
             jnp.concatenate([f1, f2], -1), train)
+        mid["conv_12"] = low
 
-        x = ConvBnAct(self.cpfe_planes, 1, has_act=False, name="reduce_conv1")(
-            jnp.concatenate([low, high], -1), train)
+        if cross is None:
+            fused = jnp.concatenate([low, high], -1)
+        else:
+            fused = jnp.concatenate([low, cross["conv_12"], high], -1)
+        x = ConvBnAct(self.cpfe_planes, 1, has_act=False,
+                      name="reduce_conv1")(fused, train)
         x = ConvTBnAct(self.cpfe_planes, name="upsample_conv1")(x, train)
         x = ConvBnAct(self.cpfe_planes, 3, name="upsample_conv2")(x, train)
         x = ConvTBnAct(self.cpfe_planes, name="upsample_conv3")(x, train)
-        return x
+        return x, mid
 
 
 def _pred_conv(planes, name):
@@ -110,7 +123,7 @@ class PFANSegmentation(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.backbone(x, train)
-        x = self.decoder(feats, train)
+        x, _ = self.decoder(feats, train)
         pred = _pred_conv(1, "pred_conv")(x.astype(jnp.float32))
         return nn.sigmoid(pred)
 
@@ -130,7 +143,7 @@ class PFANParsing(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.backbone(x, train)
-        x = self.decoder(feats, train)
+        x, _ = self.decoder(feats, train)
         return _pred_conv(self.num_classes, "pred_conv")(
             x.astype(jnp.float32))
 
@@ -150,8 +163,8 @@ class PFANMatting(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = self.backbone(x, train)
-        g = self.global_decoder(feats, train)
-        l = self.local_decoder(feats, train)
+        g, g_mid = self.global_decoder(feats, train)
+        l, _ = self.local_decoder(feats, train, cross=g_mid)
         global_pred = nn.sigmoid(_pred_conv(3, "global_pred_conv")(
             g.astype(jnp.float32)))
         local_pred = nn.sigmoid(_pred_conv(1, "local_pred_conv")(

@@ -115,3 +115,89 @@ def test_fcos_parity():
                msg=f"fcos reg level {lvl}")
         _close(cnt_o[lvl], cnt_r[lvl].numpy(), atol=1e-4,
                msg=f"fcos centerness level {lvl}")
+
+
+# ------------------------------------------------------------- retinanet ----
+
+def test_retinanet_parity():
+    ref = ref_module("simpleAICV.detection.models.retinanet")
+    seed_all(0)
+    tm = ref.resnet50_retinanet(num_classes=20).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.detection.retinanet import resnet50_retinanet
+    fm = resnet50_retinanet(num_classes=20)
+    x = np.random.RandomState(5).rand(2, 160, 160, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_retinanet", 100)
+
+    cls_o, reg_o = fm.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        cls_r, reg_r = tm(to_torch_nchw(x))
+    for lvl in range(5):
+        b, h, w, a, c = cls_o[lvl].shape
+        _close(cls_o[lvl].reshape(b, h, w, a * c), cls_r[lvl].numpy()
+               .reshape(b, h, w, a * c), atol=1e-4,
+               msg=f"retinanet cls level {lvl}")
+        _close(reg_o[lvl].reshape(b, h, w, a * 4), reg_r[lvl].numpy()
+               .reshape(b, h, w, a * 4), atol=5e-4,
+               msg=f"retinanet reg level {lvl}")
+
+
+# ------------------------------------------------------------- deeplab ------
+
+def test_deeplabv3plus_parity():
+    ref = ref_module("simpleAICV.semantic_segmentation.models.deeplabv3plus")
+    seed_all(0)
+    tm = ref.resnet50_deeplabv3plus(num_classes=19).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.segmentation.deeplabv3plus import (
+        resnet50_deeplabv3plus)
+    fm = resnet50_deeplabv3plus(num_classes=19)
+    x = np.random.RandomState(4).rand(1, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_deeplab", 100)
+
+    y = np.asarray(fm.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        yr = tm(to_torch_nchw(x)).numpy().transpose(0, 2, 3, 1)
+    _close(y, yr, atol=5e-4, msg="deeplabv3plus logits")
+
+
+# ---------------------------------------------------------------- pfan ------
+
+def test_pfan_segmentation_parity():
+    ref = ref_module(
+        "simpleAICV.salient_object_detection.models.pfan_segmentation")
+    seed_all(0)
+    tm = ref.resnet50_pfan_segmentation().eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.core.registry import MODELS
+    fm = MODELS.create("resnet50_pfan_segmentation")
+    x = np.random.RandomState(6).rand(1, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_pfan_segmentation", 100)
+
+    y = np.asarray(fm.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        yr = tm(to_torch_nchw(x)).numpy().transpose(0, 2, 3, 1)
+    _close(y, yr, atol=1e-4, msg="pfan salient pred")
+
+
+def test_pfan_matting_parity():
+    ref = ref_module("simpleAICV.human_matting.models.pfan_matting")
+    seed_all(0)
+    tm = ref.resnet50_pfan_matting().eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.core.registry import MODELS
+    fm = MODELS.create("resnet50_pfan_matting")
+    x = np.random.RandomState(7).rand(1, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_pfan_matting", 100)
+
+    g_o, l_o, f_o = fm.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        outs = tm(to_torch_nchw(x))
+    g_r, l_r, f_r = [o.numpy().transpose(0, 2, 3, 1) for o in outs]
+    _close(g_o, g_r, atol=1e-4, msg="pfan matting global")
+    _close(l_o, l_r, atol=1e-4, msg="pfan matting local")
+    _close(f_o, f_r, atol=1e-4, msg="pfan matting fused")
