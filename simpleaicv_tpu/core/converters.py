@@ -41,7 +41,7 @@ def _to_jax_layout(path: str, suffix: str, arr: np.ndarray
     if suffix == "bias":
         return "params", "bias", arr
     if suffix == "weight":
-        if arr.ndim == 4 and path.endswith("convt"):
+        if arr.ndim == 4 and path.rsplit("/", 1)[-1].startswith("convt"):
             # torch ConvTranspose2d IOHW -> flax ConvTranspose HWIO, spatially
             # flipped (verified numerically: lax.conv_transpose does not
             # mirror the kernel, torch does)
@@ -227,6 +227,47 @@ _REF_PFAN_MATTING_RULES = (
     + _pfan_decoder_rules("local_", "local_decoder/")
     + [(r"^(global|local)_pred_conv$", r"\1_pred_conv")])
 
+# DBNet (simpleAICV/text_detection/models/dbnet.py + fpn.py:48 + head.py:77):
+# binary/thresh heads are Sequential(ConvBnAct, ConvTransposeBnAct,
+# ConvTranspose2d) -> our conv / convt1+bn1 / convt2.
+_REF_DBNET_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^fpn\.((?:c|p)\d_conv|last_conv)\.layer\.([01])$",
+     lambda m: f"fpn/{m.group(1)}/{_cb(m.group(2))}"),
+    (r"^head\.(binary|thresh)_conv\.0\.layer\.([01])$",
+     lambda m: f"head/{m.group(1)}_conv/conv/{_cb(m.group(2))}"),
+    (r"^head\.(binary|thresh)_conv\.1\.layer\.0$", r"head/\1_conv/convt1"),
+    (r"^head\.(binary|thresh)_conv\.1\.layer\.1$", r"head/\1_conv/bn1"),
+    (r"^head\.(binary|thresh)_conv\.2$", r"head/\1_conv/convt2"),
+]
+
+# CTC text recognition (simpleAICV/text_recognition/models/ctc_model.py:23 +
+# encoder.py:18 BiLSTMEncoder rnn1/linear1/rnn2/linear2 + predictor.py:17).
+_REF_CTC_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^encoder\.rnn(\d)\.__lstm_(fwd|bwd)__\.(\w+)\.(kernel|hbias)$",
+     lambda m: (f"encoder/rnn{m.group(1)}_{m.group(2)}/{m.group(3)}/"
+                + ("bias" if m.group(4) == "hbias" else "kernel"))),
+    (r"^encoder\.linear(\d)$", r"encoder/linear\1"),
+    (r"^predictor\.linear1$", "predictor/fc1"),
+    (r"^predictor\.linear2$", "predictor/fc2"),
+]
+
+# RetinaFace (simpleAICV/face_detection/models/retinaface.py:27 + fpn.py:47):
+# 3-level merge FPN + SSH context modules (note the reference's own
+# conv7x7_3 lowercase-x key); our SSH names the 7x7 branch _1/_2.
+_REF_RETINAFACE_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^fpn\.(output\d|merge\d)\.layer\.([01])$",
+     lambda m: f"fpn/{m.group(1)}/{_cb(m.group(2))}"),
+    (r"^ssh(\d)\.(conv3X3|conv5X5_1|conv5X5_2)\.layer\.([01])$",
+     lambda m: (f"sshs_{int(m.group(1)) - 1}/{m.group(2)}/"
+                f"{_cb(m.group(3))}")),
+    (r"^ssh(\d)\.conv7X7_2\.layer\.([01])$",
+     lambda m: f"sshs_{int(m.group(1)) - 1}/conv7X7_1/{_cb(m.group(2))}"),
+    (r"^ssh(\d)\.conv7x7_3\.layer\.([01])$",
+     lambda m: f"sshs_{int(m.group(1)) - 1}/conv7X7_2/{_cb(m.group(2))}"),
+    (r"^cls_head_list\.(\d)\.conv1x1$", r"cls_convs_\1"),
+    (r"^box_head_list\.(\d)\.conv1x1$", r"box_convs_\1"),
+]
+
 FAMILIES = {
     "torchvision_resnet": _RESNET_RULES,
     "ref_resnet": _REF_RESNET_RULES,
@@ -235,11 +276,47 @@ FAMILIES = {
     "ref_deeplab": _REF_DEEPLAB_RULES,
     "ref_pfan_segmentation": _REF_PFAN_SEG_RULES,
     "ref_pfan_matting": _REF_PFAN_MATTING_RULES,
+    "ref_dbnet": _REF_DBNET_RULES,
+    "ref_ctc": _REF_CTC_RULES,
+    "ref_retinaface": _REF_RETINAFACE_RULES,
     "mae_vit": _MAE_VIT_RULES,
     "convformer": _CONVFORMER_RULES,
     "inception_v3": _INCEPTION_RULES,
     "sapiens_vit": _SAPIENS_RULES,
 }
+
+
+def _expand_lstm_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Expand torch nn.LSTM packed parameters into flax OptimizedLSTMCell
+    leaves, pre-laid-out.  torch packs gates [i,f,g,o] row-blocks into
+    weight_ih_l0 (4h,in) / weight_hh_l0 (4h,h) / two bias vectors (summed
+    here: flax has a single bias on the recurrent denses).  Synthetic keys
+    ``<prefix>.__lstm_{fwd,bwd}__.{ii,if,ig,io,hi,hf,hg,ho}.{kernel,bias}``
+    are whole-tensor entries for the family rules to place."""
+    out = {}
+    lstm: Dict[Tuple[str, str], dict] = {}
+    for k, arr in sd.items():
+        m = re.match(r"^(.*)\.(weight|bias)_(ih|hh)_l0(_reverse)?$", k)
+        if not m:
+            out[k] = arr
+            continue
+        prefix = m.group(1)
+        direction = "bwd" if m.group(4) else "fwd"
+        lstm.setdefault((prefix, direction), {})[
+            f"{m.group(2)}_{m.group(3)}"] = np.asarray(arr)
+    for (prefix, direction), parts in lstm.items():
+        w_ih, w_hh = parts["weight_ih"], parts["weight_hh"]
+        bias = parts["bias_ih"] + parts["bias_hh"]
+        h = w_hh.shape[1]
+        for gi, g in enumerate("ifgo"):
+            sl = slice(gi * h, (gi + 1) * h)
+            base = f"{prefix}.__lstm_{direction}__"
+            # tails must not collide with the weight/bias suffix stripping in
+            # convert_official_state_dict (hbias, not bias)
+            out[f"{base}.i{g}.kernel"] = np.ascontiguousarray(w_ih[sl].T)
+            out[f"{base}.h{g}.kernel"] = np.ascontiguousarray(w_hh[sl].T)
+            out[f"{base}.h{g}.hbias"] = bias[sl]
+    return out
 
 
 def _rewrite(module_path: str, rules) -> str | None:
@@ -255,6 +332,7 @@ def convert_official_state_dict(sd: Dict[str, np.ndarray], family: str
     """state_dict -> {'params': nested, 'batch_stats': nested}. Unmatched
     keys are dropped (the reference converters do the same by key filter)."""
     rules = FAMILIES[family]
+    sd = _expand_lstm_keys(sd)
     out = {"params": {}, "batch_stats": {}}
     for key, arr in sd.items():
         arr = np.asarray(arr)

@@ -94,10 +94,21 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = self.padding if self.padding is not None else (self.kernel_size - 1) // 2
-        x = nn.Conv(self.planes, (self.kernel_size, self.kernel_size),
-                    strides=(self.stride, self.stride),
-                    padding=[(pad, pad), (pad, pad)],
+        # int or (h, w) tuples for kernel/stride/padding (the reference's OCR
+        # backbone uses (3,1)/(2,1)/(1,0) stages)
+        k = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) \
+            else (self.kernel_size, self.kernel_size)
+        s = self.stride if isinstance(self.stride, (tuple, list)) \
+            else (self.stride, self.stride)
+        if self.padding is None:
+            pad = ((k[0] - 1) // 2, (k[1] - 1) // 2)
+        elif isinstance(self.padding, (tuple, list)):
+            pad = tuple(self.padding)
+        else:
+            pad = (self.padding, self.padding)
+        x = nn.Conv(self.planes, tuple(k),
+                    strides=tuple(s),
+                    padding=[(pad[0], pad[0]), (pad[1], pad[1])],
                     feature_group_count=self.groups,
                     use_bias=not self.has_bn,
                     dtype=self.dtype, param_dtype=jnp.float32,

@@ -54,20 +54,21 @@ class RetinaFaceAnchors:
 
 
 class RetinaFaceFPN(nn.Module):
+    """3-level merge FPN (reference face_detection/models/fpn.py:47-123:
+    output1/2/3 are 1x1 ConvBnAct+ReLU; out3 is returned unmerged)."""
     planes: int = 256
 
     @nn.compact
     def __call__(self, inputs, train: bool = False):
         c3, c4, c5 = inputs
-        p5 = ConvBnAct(self.planes, 1, name="P5_1")(c5, train)
-        p4 = ConvBnAct(self.planes, 1, name="P4_1")(c4, train)
-        p4 = _upsample_to(p5, p4.shape[1], p4.shape[2]) + p4
-        p4 = ConvBnAct(self.planes, 3, name="P4_2")(p4, train)
-        p3 = ConvBnAct(self.planes, 1, name="P3_1")(c3, train)
-        p3 = _upsample_to(p4, p3.shape[1], p3.shape[2]) + p3
-        p3 = ConvBnAct(self.planes, 3, name="P3_2")(p3, train)
-        p5 = ConvBnAct(self.planes, 3, name="P5_2")(p5, train)
-        return [p3, p4, p5]
+        out1 = ConvBnAct(self.planes, 1, name="output1")(c3, train)
+        out2 = ConvBnAct(self.planes, 1, name="output2")(c4, train)
+        out3 = ConvBnAct(self.planes, 1, name="output3")(c5, train)
+        out2 = out2 + _upsample_to(out3, out2.shape[1], out2.shape[2])
+        out2 = ConvBnAct(self.planes, 3, name="merge2")(out2, train)
+        out1 = out1 + _upsample_to(out2, out1.shape[1], out1.shape[2])
+        out1 = ConvBnAct(self.planes, 3, name="merge1")(out1, train)
+        return [out1, out2, out3]
 
 
 class RetinaFaceSSH(nn.Module):

@@ -58,7 +58,7 @@ def test_ctc_model_shapes_and_learning():
     x = jnp.asarray(batch["image"])
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, False)
     preds = model.apply(variables, x, False)
-    assert preds.shape == (2, 3, conv.num_classes)  # W/32 = 3 time steps
+    assert preds.shape == (2, 12, conv.num_classes)  # W/8 time steps (OCR trunk)
     loss = LOSSES.create("CTCLoss")(preds, jnp.asarray(batch["targets"]),
                                     jnp.asarray(batch["target_lengths"]))
     assert np.isfinite(float(loss))

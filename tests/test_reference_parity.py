@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from tests._reference import (ref_module, seed_all, state_dict_numpy,
                               to_torch_nchw, torch)
 
-from simpleaicv_tpu.core.converters import (apply_converted,
+from simpleaicv_tpu.core.converters import (_expand_lstm_keys,
+                                            apply_converted,
                                             convert_official_state_dict)
 from simpleaicv_tpu.models import common as model_common
 
@@ -41,7 +42,9 @@ def _load(flax_model, init_args, sd, family, min_loaded):
     variables, n = apply_converted(variables, converted)
     assert n >= min_loaded, f"only {n} tensors loaded (< {min_loaded})"
     # every reference tensor must have found a home: count convertible leaves
-    n_src = sum(1 for k in sd if not k.endswith("num_batches_tracked"))
+    # (after LSTM gate expansion, which changes the leaf count)
+    n_src = sum(1 for k in _expand_lstm_keys(sd)
+                if not k.endswith("num_batches_tracked"))
     assert n == n_src, f"loaded {n} of {n_src} reference tensors"
     return variables
 
@@ -201,3 +204,82 @@ def test_pfan_matting_parity():
     _close(g_o, g_r, atol=1e-4, msg="pfan matting global")
     _close(l_o, l_r, atol=1e-4, msg="pfan matting local")
     _close(f_o, f_r, atol=1e-4, msg="pfan matting fused")
+
+
+# --------------------------------------------------------------- dbnet ------
+
+def test_dbnet_parity():
+    ref = ref_module("simpleAICV.text_detection.models.dbnet")
+    seed_all(0)
+    tm = ref.resnet50_dbnet().eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.core.registry import MODELS
+    fm = MODELS.create("resnet50_dbnet")
+    x = np.random.RandomState(8).rand(1, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_dbnet", 100)
+
+    y = np.asarray(fm.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        yr = tm(to_torch_nchw(x)).numpy().transpose(0, 2, 3, 1)
+    _close(y, yr, atol=1e-3, msg="dbnet prob/thresh maps")
+
+
+# ----------------------------------------------------------------- ctc ------
+
+def test_ctc_model_parity():
+    ref = ref_module("simpleAICV.text_recognition.models.ctc_model")
+    seed_all(0)
+    model_config = {
+        "backbone": {"name": "resnet34backbone",
+                     "param": {"pretrained_path": ""}},
+        "encoder": {"name": "BiLSTMEncoder", "param": {}},
+        "predictor": {"name": "CTCPredictor",
+                      "param": {"hidden_planes": 64, "num_classes": 37}},
+    }
+    tm = ref.CTCModel(model_config).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.text_recognition import CTCModel
+    fm = CTCModel(backbone_type="resnet34", encoder_type="BiLSTMEncoder",
+                  predictor_hidden_planes=64, num_classes=37)
+    x = np.random.RandomState(9).rand(1, 32, 48, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_ctc", 100)
+
+    y = np.asarray(fm.apply(variables, jnp.asarray(x)))
+    with torch.no_grad():
+        yr = tm(to_torch_nchw(x)).numpy()
+    assert y.shape == tuple(yr.shape), (y.shape, yr.shape)
+    _close(y, yr, atol=5e-4, msg="ctc logits (OCR trunk + 2xBiLSTM)")
+
+
+# ------------------------------------------------------------ retinaface ----
+
+def test_retinaface_parity():
+    ref = ref_module("simpleAICV.face_detection.models.retinaface")
+    seed_all(0)
+    tm = ref.resnet50_retinaface().eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.face_detection import resnet50_retinaface
+    fm = resnet50_retinaface()
+    x = np.random.RandomState(10).rand(1, 160, 160, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_retinaface", 100)
+
+    cls_o, box_o = fm.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        cls_r, box_r = tm(to_torch_nchw(x))
+    # random-init eval-mode BN (unit running stats) lets activations grow to
+    # O(100) by C5, so compare at a scale-aware tolerance
+    for lvl in range(3):
+        co = np.asarray(cls_o[lvl])
+        bo = np.asarray(box_o[lvl])
+        cr = cls_r[lvl].numpy().reshape(co.shape[0], co.shape[1],
+                                        co.shape[2], -1)
+        br = box_r[lvl].numpy().reshape(bo.shape[0], bo.shape[1],
+                                        bo.shape[2], -1)
+        _close(co.reshape(cr.shape), cr, atol=5e-3,
+               msg=f"retinaface cls level {lvl}")
+        scale = max(1.0, float(np.abs(br).max()))
+        assert np.abs(bo.reshape(br.shape) - br).max() / scale < 2e-4, \
+            f"retinaface box level {lvl}"
