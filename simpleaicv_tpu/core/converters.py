@@ -41,7 +41,10 @@ def _to_jax_layout(path: str, suffix: str, arr: np.ndarray
     if suffix == "bias":
         return "params", "bias", arr
     if suffix == "weight":
-        if arr.ndim == 4 and path.rsplit("/", 1)[-1].startswith("convt"):
+        if arr.ndim == 2 and path.rsplit("/", 1)[-1].endswith("embed"):
+            # torch nn.Embedding -> flax nn.Embed: same (num, features) layout
+            return "params", "embedding", arr
+        if arr.ndim == 4 and "convt" in path.rsplit("/", 1)[-1]:
             # torch ConvTranspose2d IOHW -> flax ConvTranspose HWIO, spatially
             # flipped (verified numerically: lax.conv_transpose does not
             # mirror the kernel, torch does)
@@ -268,6 +271,159 @@ _REF_RETINAFACE_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^box_head_list\.(\d)\.conv1x1$", r"box_convs_\1"),
 ]
 
+# Diffusion UNet (simpleAICV/diffusion_model/models/diffusion_unet.py:17-460):
+# flat ModuleLists interleaving ResBlocks and Up/DownSampleBlocks; our names
+# down_{i}/up_{i}/middle_{i} use the same flat indices, samplers are
+# down_{i}_conv / up_{i}_conv.
+_UNET_RES_SUB = {
+    "block1.0": "norm1", "block1.2": "conv1",
+    "time_embedding_proj.1": "time_proj",
+    "class_embedding_proj.1": "class_proj",
+    "block2.0": "norm2", "block2.3": "conv2",
+    "nin_shortcut": "nin_shortcut", "conv_shortcut": "conv_shortcut",
+    "attention.norm": "attention/norm", "attention.q": "attention/q",
+    "attention.k": "attention/k", "attention.v": "attention/v",
+    "attention.proj_out": "attention/proj_out",
+}
+
+
+def _unet_res(group: str):
+    def repl(m):
+        sub = _UNET_RES_SUB.get(m.group(2))
+        return f"{group}_{m.group(1)}/{sub}" if sub else None
+    return repl
+
+
+_REF_DIFFUSION_UNET_RULES = [
+    (r"^time_mlp\.1$", "time_mlp_1"),
+    (r"^time_mlp\.3$", "time_mlp_2"),
+    (r"^class_mlp\.0$", "class_embed"),
+    (r"^class_mlp\.1$", "class_mlp_1"),
+    (r"^class_mlp\.3$", "class_mlp_2"),
+    (r"^stem$", "stem"),
+    (r"^last_norm$", "last_norm"),
+    (r"^last_conv$", "last_conv"),
+    (r"^downsample_blocks\.(\d+)\.layer$", r"down_\1_conv"),
+    (r"^upsample_blocks\.(\d+)\.layer$", r"up_\1_conv"),
+    (r"^downsample_blocks\.(\d+)\.(.+)$", _unet_res("down")),
+    (r"^middle_blocks\.(\d+)\.(.+)$", _unet_res("middle")),
+    (r"^upsample_blocks\.(\d+)\.(.+)$", _unet_res("up")),
+]
+
+def _sam_prepass(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """SAM-specific: merge the four single-row point_embeddings into one
+    (4,256) param and strip the ``.weight`` from 1-row nn.Embedding params so
+    they convert as whole tensors (our params are plain arrays)."""
+    out = {}
+    points = {}
+    for k, arr in sd.items():
+        m = re.match(r"^prompt_encoder\.point_embeddings\.(\d)\.weight$", k)
+        if m:
+            points[int(m.group(1))] = np.asarray(arr)
+            continue
+        m = re.match(r"^prompt_encoder\.(not_a_point_embed|no_mask_embed)"
+                     r"\.weight$", k)
+        if m:
+            out[f"prompt_encoder.{m.group(1)}"] = np.asarray(arr).reshape(-1)
+            continue
+        m = re.match(r"^mask_decoder\.(iou_token|mask_tokens)\.weight$", k)
+        if m:
+            out[f"mask_decoder.{m.group(1)}"] = np.asarray(arr)
+            continue
+        out[k] = arr
+    if points:
+        out["prompt_encoder.point_embeddings"] = np.concatenate(
+            [points[i] for i in sorted(points)], axis=0)
+    return out
+
+
+# SAM (simpleAICV/interactive_segmentation/models/segment_anything/): ViT-det
+# image encoder with decomposed rel-pos + windowing, prompt encoder, two-way
+# transformer mask decoder.
+_REF_SAM_RULES = [
+    (r"^image_encoder\.pos_embed$", "image_encoder/pos_embed"),
+    (r"^image_encoder\.patch_embed\.proj$", "image_encoder/patch_embed"),
+    (r"^image_encoder\.blocks\.(\d+)\.(norm\d)$",
+     r"image_encoder/blocks_\1/\2"),
+    (r"^image_encoder\.blocks\.(\d+)\.attn\.(qkv|proj|rel_pos_[hw])$",
+     r"image_encoder/blocks_\1/attn/\2"),
+    (r"^image_encoder\.blocks\.(\d+)\.mlp\.lin(\d)$",
+     r"image_encoder/blocks_\1/mlp_lin\2"),
+    (r"^image_encoder\.neck\.0$", "image_encoder/neck_conv1"),
+    (r"^image_encoder\.neck\.1$", "image_encoder/neck_ln1"),
+    (r"^image_encoder\.neck\.2$", "image_encoder/neck_conv2"),
+    (r"^image_encoder\.neck\.3$", "image_encoder/neck_ln2"),
+    (r"^prompt_encoder\.pe_layer\.positional_encoding_gaussian_matrix$",
+     "prompt_encoder/pe_layer/positional_encoding_gaussian_matrix"),
+    (r"^prompt_encoder\.(point_embeddings|not_a_point_embed|no_mask_embed)$",
+     r"prompt_encoder/\1"),
+    (r"^prompt_encoder\.mask_downscaling\.0$", "prompt_encoder/mask_conv1"),
+    (r"^prompt_encoder\.mask_downscaling\.1$", "prompt_encoder/mask_ln1"),
+    (r"^prompt_encoder\.mask_downscaling\.3$", "prompt_encoder/mask_conv2"),
+    (r"^prompt_encoder\.mask_downscaling\.4$", "prompt_encoder/mask_ln2"),
+    (r"^prompt_encoder\.mask_downscaling\.6$", "prompt_encoder/mask_conv3"),
+    (r"^mask_decoder\.(iou_token|mask_tokens)$", r"mask_decoder/\1"),
+    (r"^mask_decoder\.transformer\.layers\.(\d+)\.(self_attn|"
+     r"cross_attn_token_to_image|cross_attn_image_to_token)\.(\w+)$",
+     r"mask_decoder/transformer/layers_\1/\2/\3"),
+    (r"^mask_decoder\.transformer\.layers\.(\d+)\.(norm\d)$",
+     r"mask_decoder/transformer/layers_\1/\2"),
+    (r"^mask_decoder\.transformer\.layers\.(\d+)\.mlp\.lin(\d)$",
+     r"mask_decoder/transformer/layers_\1/mlp/lin\2"),
+    (r"^mask_decoder\.transformer\.final_attn_token_to_image\.(\w+)$",
+     r"mask_decoder/transformer/final_attn_token_to_image/\1"),
+    (r"^mask_decoder\.transformer\.norm_final_attn$",
+     "mask_decoder/transformer/norm_final_attn"),
+    (r"^mask_decoder\.output_upscaling\.0$", "mask_decoder/upscale_convt1"),
+    (r"^mask_decoder\.output_upscaling\.1$", "mask_decoder/upscale_ln"),
+    (r"^mask_decoder\.output_upscaling\.3$", "mask_decoder/upscale_convt2"),
+    (r"^mask_decoder\.output_hypernetworks_mlps\.(\d+)\.layers\.(\d+)$",
+     r"mask_decoder/output_hypernetworks_mlps_\1/layers_\2"),
+    (r"^mask_decoder\.iou_prediction_head\.layers\.(\d+)$",
+     r"mask_decoder/iou_prediction_head/layers_\1"),
+]
+
+def _leaf(tail: str) -> str:
+    return "bias" if tail == "hbias" else tail
+
+
+def _detr_prepass(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, arr in sd.items():
+        if k == "query_embed.weight":  # nn.Embedding -> plain (Q,C) param
+            out["query_embed"] = np.asarray(arr)
+        else:
+            out[k] = arr
+    return out
+
+
+# DETR (simpleAICV/detection/models/detr.py:44-400): post-norm 6+6 transformer
+# with nn.MultiheadAttention (packed in_proj expanded by _expand_mha_keys);
+# reg head = Sequential(Linear,ReLU)x2 + Linear at indices 0/2/4.
+_REF_DETR_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^proj_conv$", "proj_conv"),
+    (r"^transformer\.(encoder|decoder)_blocks\.(\d+)\."
+     r"(attention|multihead_attention)\.__mha_([qkv])__\.(kernel|hbias)$",
+     lambda m: (f"{m.group(1)}_{m.group(2)}/{m.group(3)}/{m.group(4)}/"
+                f"{_leaf(m.group(5))}")),
+    (r"^transformer\.(encoder|decoder)_blocks\.(\d+)\."
+     r"(attention|multihead_attention)\.out_proj$",
+     r"\1_\2/\3/out"),
+    (r"^transformer\.(encoder|decoder)_blocks\.(\d+)\.(norm\d|linear\d)$",
+     r"\1_\2/\3"),
+    (r"^transformer\.decoder_norm$", "decoder_norm"),
+    (r"^query_embed$", "query_embed"),
+    (r"^head\.cls_head$", "cls_head"),
+    (r"^head\.reg_head\.0$", "reg_head_0"),
+    (r"^head\.reg_head\.2$", "reg_head_1"),
+    (r"^head\.reg_head\.4$", "reg_head_out"),
+]
+
+FAMILY_PREPASS = {
+    "ref_sam": _sam_prepass,
+    "ref_detr": _detr_prepass,
+}
+
 FAMILIES = {
     "torchvision_resnet": _RESNET_RULES,
     "ref_resnet": _REF_RESNET_RULES,
@@ -279,6 +435,9 @@ FAMILIES = {
     "ref_dbnet": _REF_DBNET_RULES,
     "ref_ctc": _REF_CTC_RULES,
     "ref_retinaface": _REF_RETINAFACE_RULES,
+    "ref_diffusion_unet": _REF_DIFFUSION_UNET_RULES,
+    "ref_sam": _REF_SAM_RULES,
+    "ref_detr": _REF_DETR_RULES,
     "mae_vit": _MAE_VIT_RULES,
     "convformer": _CONVFORMER_RULES,
     "inception_v3": _INCEPTION_RULES,
@@ -319,6 +478,30 @@ def _expand_lstm_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def _expand_mha_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Expand torch nn.MultiheadAttention packed in_proj into q/k/v leaves.
+    in_proj_weight is (3c,c) row-blocks [q;k;v]; synthetic whole-tensor keys
+    ``<prefix>.__mha_{q,k,v}__.{kernel,hbias}`` come out pre-transposed."""
+    out = {}
+    packs: Dict[str, dict] = {}
+    for k, arr in sd.items():
+        m = re.match(r"^(.*)\.in_proj_(weight|bias)$", k)
+        if not m:
+            out[k] = arr
+            continue
+        packs.setdefault(m.group(1), {})[m.group(2)] = np.asarray(arr)
+    for prefix, parts in packs.items():
+        w = parts["weight"]
+        c = w.shape[1]
+        b = parts.get("bias")
+        for i, g in enumerate("qkv"):
+            out[f"{prefix}.__mha_{g}__.kernel"] = np.ascontiguousarray(
+                w[i * c:(i + 1) * c].T)
+            if b is not None:
+                out[f"{prefix}.__mha_{g}__.hbias"] = b[i * c:(i + 1) * c]
+    return out
+
+
 def _rewrite(module_path: str, rules) -> str | None:
     for pat, repl in rules:
         m = re.match(pat, module_path)
@@ -332,7 +515,9 @@ def convert_official_state_dict(sd: Dict[str, np.ndarray], family: str
     """state_dict -> {'params': nested, 'batch_stats': nested}. Unmatched
     keys are dropped (the reference converters do the same by key filter)."""
     rules = FAMILIES[family]
-    sd = _expand_lstm_keys(sd)
+    sd = _expand_mha_keys(_expand_lstm_keys(sd))
+    if family in FAMILY_PREPASS:
+        sd = FAMILY_PREPASS[family](sd)
     out = {"params": {}, "batch_stats": {}}
     for key, arr in sd.items():
         arr = np.asarray(arr)

@@ -28,11 +28,13 @@ class Registry:
 
         return deco
 
-    def create(self, name: str, **kwargs):
-        if name not in self._factories:
+    def create(self, key: str, **kwargs):
+        # first param deliberately not called ``name`` so callers can forward
+        # a flax module name kwarg to the factory
+        if key not in self._factories:
             raise KeyError(
-                f"unknown {self.kind} '{name}'. known: {sorted(self._factories)}")
-        return self._factories[name](**kwargs)
+                f"unknown {self.kind} '{key}'. known: {sorted(self._factories)}")
+        return self._factories[key](**kwargs)
 
     def __contains__(self, name: str) -> bool:
         return name in self._factories

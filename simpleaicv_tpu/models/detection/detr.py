@@ -57,7 +57,12 @@ class MHA(nn.Module):
         vh = proj(v, "v").reshape(*v.shape[:2], self.head_nums, hd)
         attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * (hd**-0.5)
         if key_padding_mask is not None:
-            attn = jnp.where(key_padding_mask[:, None, None, :], -1e9, attn)
+            # The reference passes masks.float() into nn.MultiheadAttention
+            # (detr.py:246-252 via transformer forward), and torch treats a
+            # FLOAT key_padding_mask as ADDITIVE: padded logits get +1.0, not
+            # -inf. Reproduced exactly so converted reference checkpoints
+            # behave identically (verified against torch 2.13).
+            attn = attn + key_padding_mask.astype(attn.dtype)[:, None, None, :]
         attn = jax.nn.softmax(attn, axis=-1)
         if self.dropout_prob > 0:
             attn = nn.Dropout(self.dropout_prob, deterministic=not train)(
@@ -122,12 +127,16 @@ class DETR(nn.Module):
         """x [B,H,W,3]; masks [B,H,W] True/1 = padding. Returns
         (cls_outputs [L,B,Q,num_classes+1], reg_outputs [L,B,Q,4])."""
         backbone = BACKBONES.create(
-            self.backbone_type, features_only=True,
+            self.backbone_type, features_only=True, name="backbone",
             use_gradient_checkpoint=self.use_gradient_checkpoint)
         feat = backbone(x, train)[-1]           # C5 [B,h,w,C]
         b, h, w, _ = feat.shape
-        m = jax.image.resize(masks.astype(jnp.float32), (b, h, w),
-                             "nearest") > 0.5
+        # torch F.interpolate nearest convention: src = floor(dst * in/out)
+        # (reference detr.py:324-326); jax.image.resize uses half-pixel
+        # centers, which picks different rows at the pad boundary
+        hidx = (jnp.arange(h) * masks.shape[1]) // h
+        widx = (jnp.arange(w) * masks.shape[2]) // w
+        m = masks[:, hidx][:, :, widx] > 0.5
         pos = sine_position_embedding(m, self.hidden_inplanes // 2)
 
         src = nn.Conv(self.hidden_inplanes, (1, 1), dtype=jnp.float32,
@@ -148,13 +157,15 @@ class DETR(nn.Module):
                                      (b,) + query_embed.shape)
         tgt = jnp.zeros_like(query_pos)
 
+        # reference applies decoder_norm to EVERY intermediate output
+        # (detr.py:258-260), not only the final one
+        decoder_norm = nn.LayerNorm(name="decoder_norm")
         inter = []
         for i in range(self.decoder_layer_nums):
             tgt = DecoderLayer(self.head_nums, 4, self.dropout_prob,
                                name=f"decoder_{i}")(tgt, src, query_pos, pos,
                                                     pad, train)
-            inter.append(nn.LayerNorm(name="decoder_norm")(tgt)
-                         if i == self.decoder_layer_nums - 1 else tgt)
+            inter.append(decoder_norm(tgt))
         hs = jnp.stack(inter, axis=0)           # [L,B,Q,C]
 
         cls_out = nn.Dense(self.num_classes + 1, name="cls_head")(hs)

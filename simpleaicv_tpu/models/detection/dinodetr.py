@@ -27,7 +27,6 @@ import jax.numpy as jnp
 
 from ...core.registry import BACKBONES, MODELS
 from ...ops.msda import ms_deform_attn
-from .detr import MHA
 
 __all__ = ["DINODETR", "resnet18_dinodetr", "resnet34_dinodetr",
            "resnet50_dinodetr", "resnet101_dinodetr", "resnet152_dinodetr"]

@@ -170,7 +170,7 @@ class LayerNormChannelsLast(nn.Module):
         u = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
         s = jnp.mean((x.astype(jnp.float32) - u)**2, axis=-1, keepdims=True)
         xn = (x.astype(jnp.float32) - u) * jax.lax.rsqrt(s + 1e-6)
-        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],),
+        weight = self.param("scale", nn.initializers.ones, (x.shape[-1],),
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
                           jnp.float32)

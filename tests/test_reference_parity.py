@@ -23,8 +23,7 @@ import jax.numpy as jnp
 from tests._reference import (ref_module, seed_all, state_dict_numpy,
                               to_torch_nchw, torch)
 
-from simpleaicv_tpu.core.converters import (_expand_lstm_keys,
-                                            apply_converted,
+from simpleaicv_tpu.core.converters import (apply_converted,
                                             convert_official_state_dict)
 from simpleaicv_tpu.models import common as model_common
 
@@ -36,16 +35,20 @@ def _f32_models():
     model_common.set_compute_dtype(jnp.bfloat16)
 
 
+def _count_leaves(tree) -> int:
+    if not isinstance(tree, dict):
+        return 1
+    return sum(_count_leaves(v) for v in tree.values())
+
+
 def _load(flax_model, init_args, sd, family, min_loaded):
     variables = flax_model.init(jax.random.PRNGKey(0), *init_args)
     converted = convert_official_state_dict(sd, family)
+    # every converted reference tensor must find a slot in the flax model
+    n_conv = sum(_count_leaves(converted[c]) for c in converted)
     variables, n = apply_converted(variables, converted)
     assert n >= min_loaded, f"only {n} tensors loaded (< {min_loaded})"
-    # every reference tensor must have found a home: count convertible leaves
-    # (after LSTM gate expansion, which changes the leaf count)
-    n_src = sum(1 for k in _expand_lstm_keys(sd)
-                if not k.endswith("num_batches_tracked"))
-    assert n == n_src, f"loaded {n} of {n_src} reference tensors"
+    assert n == n_conv, f"loaded {n} of {n_conv} converted tensors"
     return variables
 
 
@@ -283,3 +286,113 @@ def test_retinaface_parity():
         scale = max(1.0, float(np.abs(br).max()))
         assert np.abs(bo.reshape(br.shape) - br).max() / scale < 2e-4, \
             f"retinaface box level {lvl}"
+
+
+# -------------------------------------------------------- diffusion unet ----
+
+@pytest.mark.parametrize("num_classes", [None, 5])
+def test_diffusion_unet_parity(num_classes):
+    ref = ref_module("simpleAICV.diffusion_model.models.diffusion_unet")
+    seed_all(0)
+    tm = ref.DiffusionUNet(inplanes=3, planes=32, planes_multi=[1, 2],
+                           time_embedding_ratio=4, block_nums=2,
+                           dropout_prob=0.0, num_groups=8,
+                           use_attention_planes_multi_idx=[0, 1],
+                           num_classes=num_classes).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.diffusion_unet import DiffusionUNet
+    fm = DiffusionUNet(inplanes=3, planes=32, planes_multi=(1, 2),
+                       time_embedding_ratio=4, block_nums=2,
+                       dropout_prob=0.0, num_groups=8,
+                       use_attention_planes_multi_idx=(0, 1),
+                       num_classes=num_classes)
+    x = np.random.RandomState(11).rand(2, 16, 16, 3).astype(np.float32)
+    t = np.asarray([3, 500], np.int64)
+    labels = np.asarray([1, 4], np.int64) if num_classes else None
+    init_args = (jnp.asarray(x), jnp.asarray(t))
+    if num_classes:
+        init_args = init_args + (jnp.asarray(labels),)
+    variables = _load(fm, init_args, sd, "ref_diffusion_unet", 100)
+
+    y = np.asarray(fm.apply(variables, *init_args))
+    with torch.no_grad():
+        args = (to_torch_nchw(x), torch.from_numpy(t))
+        if num_classes:
+            args = args + (torch.from_numpy(labels),)
+        yr = tm(*args).numpy().transpose(0, 2, 3, 1)
+    _close(y, yr, atol=1e-4, msg="diffusion unet eps prediction")
+
+
+# ----------------------------------------------------------------- sam ------
+
+def test_sam_parity():
+    ref = ref_module(
+        "simpleAICV.interactive_segmentation.models.segment_anything.sam")
+    seed_all(0)
+    kw = dict(image_size=128, patch_size=16,
+              image_encoder_embedding_planes=96,
+              image_encoder_block_nums=4, image_encoder_head_nums=3,
+              image_encoder_window_size=4,
+              prompt_encoder_embedding_planes=64,
+              prompt_encoder_mask_inter_planes=8)
+    tm = ref.SAM(image_encoder_global_attn_indexes=[1, 3], **kw).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.interactive_segmentation.sam import SAM
+    fm = SAM(image_encoder_global_attn_indexes=(1, 3), **kw)
+    x = np.random.RandomState(12).rand(2, 128, 128, 3).astype(np.float32)
+    pts = np.zeros((2, 2, 3), np.float32)
+    pts[:, :, :2] = np.random.RandomState(13).rand(2, 2, 2) * 128
+    pts[:, :, 2] = 1.0
+    boxes = np.asarray([[10, 10, 100, 100], [20, 30, 90, 110]], np.float32)
+    init_prompts = {"prompt_point": jnp.asarray(pts),
+                    "prompt_box": jnp.asarray(boxes),
+                    "prompt_mask": jnp.zeros((2, 32, 32, 1))}
+    variables = _load(fm, (jnp.asarray(x), init_prompts), sd, "ref_sam", 100)
+
+    # point + box prompts
+    prompts = {"prompt_point": jnp.asarray(pts),
+               "prompt_box": jnp.asarray(boxes), "prompt_mask": None}
+    masks_o, iou_o = fm.apply(variables, jnp.asarray(x), prompts)
+    with torch.no_grad():
+        bp = {"prompt_point": torch.from_numpy(pts),
+              "prompt_box": torch.from_numpy(boxes), "prompt_mask": None}
+        masks_r, iou_r = tm(to_torch_nchw(x), bp)
+    _close(masks_o, masks_r.numpy(), atol=5e-3, msg="sam masks (point+box)")
+    _close(iou_o, iou_r.numpy(), atol=2e-3, msg="sam iou predictions")
+
+    # point + mask prompts
+    pm = np.random.RandomState(14).rand(2, 32, 32, 1).astype(np.float32)
+    prompts2 = {"prompt_point": jnp.asarray(pts), "prompt_box": None,
+                "prompt_mask": jnp.asarray(pm)}
+    masks_o2, _ = fm.apply(variables, jnp.asarray(x), prompts2)
+    with torch.no_grad():
+        bp2 = {"prompt_point": torch.from_numpy(pts), "prompt_box": None,
+               "prompt_mask": torch.from_numpy(pm.transpose(0, 3, 1, 2))}
+        masks_r2, _ = tm(to_torch_nchw(x), bp2)
+    _close(masks_o2, masks_r2.numpy(), atol=5e-2,
+           msg="sam masks (mask prompt)")
+
+
+# ---------------------------------------------------------------- detr ------
+
+def test_detr_parity():
+    ref = ref_module("simpleAICV.detection.models.detr")
+    seed_all(0)
+    tm = ref.resnet50_detr(num_classes=20).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.detection.detr import resnet50_detr
+    fm = resnet50_detr(num_classes=20)
+    x = np.random.RandomState(15).rand(1, 128, 128, 3).astype(np.float32)
+    masks = np.zeros((1, 128, 128), np.float32)
+    masks[:, 100:, :] = 1.0   # padded rows exercise the additive float mask
+    variables = _load(fm, (jnp.asarray(x), jnp.asarray(masks)), sd,
+                      "ref_detr", 100)
+
+    cls_o, reg_o = fm.apply(variables, jnp.asarray(x), jnp.asarray(masks))
+    with torch.no_grad():
+        cls_r, reg_r = tm(to_torch_nchw(x), torch.from_numpy(masks).bool())
+    _close(cls_o, cls_r.numpy(), atol=5e-4, msg="detr cls (6 layers)")
+    _close(reg_o, reg_r.numpy(), atol=1e-4, msg="detr boxes")
