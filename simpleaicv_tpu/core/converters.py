@@ -419,6 +419,17 @@ _REF_DETR_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^head\.reg_head\.4$", "reg_head_out"),
 ]
 
+# SOLOv2 (simpleAICV/instance_segmentation/models/solov2.py:36-584).
+_REF_SOLOV2_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^fpn\.lateral_conv_layers\.(\d)$", r"fpn/lateral_\1"),
+    (r"^fpn\.fpn_conv_layers\.(\d)$", r"fpn/fpn_\1"),
+    (r"^mask_feature_head\.(level_\d_conv\d|pred_conv)\.(conv|gn)$",
+     r"mask_feature_head/\1/\2"),
+    (r"^bbox_head\.(cate|kernel)_conv_layers\.(\d)\.(conv|gn)$",
+     r"bbox_head/\1_conv_\2/\3"),
+    (r"^bbox_head\.(cate|kernel)_pred_conv$", r"bbox_head/\1_pred_conv"),
+]
+
 FAMILY_PREPASS = {
     "ref_sam": _sam_prepass,
     "ref_detr": _detr_prepass,
@@ -438,6 +449,7 @@ FAMILIES = {
     "ref_diffusion_unet": _REF_DIFFUSION_UNET_RULES,
     "ref_sam": _REF_SAM_RULES,
     "ref_detr": _REF_DETR_RULES,
+    "ref_solov2": _REF_SOLOV2_RULES,
     "mae_vit": _MAE_VIT_RULES,
     "convformer": _CONVFORMER_RULES,
     "inception_v3": _INCEPTION_RULES,

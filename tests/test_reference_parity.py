@@ -396,3 +396,30 @@ def test_detr_parity():
         cls_r, reg_r = tm(to_torch_nchw(x), torch.from_numpy(masks).bool())
     _close(cls_o, cls_r.numpy(), atol=5e-4, msg="detr cls (6 layers)")
     _close(reg_o, reg_r.numpy(), atol=1e-4, msg="detr boxes")
+
+
+# --------------------------------------------------------------- solov2 -----
+
+def test_solov2_parity():
+    ref = ref_module("simpleAICV.instance_segmentation.models.solov2")
+    seed_all(0)
+    tm = ref.resnet50_solov2(num_classes=20).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.instance_segmentation.solov2 import (
+        resnet50_solov2)
+    fm = resnet50_solov2(num_classes=20)
+    x = np.random.RandomState(16).rand(1, 160, 160, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_solov2", 100)
+
+    mask_o, kern_o, cate_o = fm.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        out_r = tm(to_torch_nchw(x))
+    mask_r, kern_r, cate_r = out_r
+    _close(mask_o, mask_r.numpy().transpose(0, 2, 3, 1), atol=1e-3,
+           msg="solov2 mask features")
+    for lvl in range(5):
+        _close(kern_o[lvl], kern_r[lvl].numpy().transpose(0, 2, 3, 1),
+               atol=1e-3, msg=f"solov2 kernel preds level {lvl}")
+        _close(cate_o[lvl], cate_r[lvl].numpy().transpose(0, 2, 3, 1),
+               atol=1e-3, msg=f"solov2 cate preds level {lvl}")
