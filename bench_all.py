@@ -1,0 +1,324 @@
+"""Multi-metric benchmark portfolio on one TPU chip (BASELINE.json surface).
+
+Covers, beyond bench.py's headline ResNet-50 line:
+  * fcos_800_imgs_per_sec      — COCO-shaped FCOS train step (800x800)
+  * vit_b16_imgs_per_sec       — ViT-B/16 train step (224, no BatchNorm)
+  * sam_b_1024_step_ms         — SAM-B full train step at 1024x1024
+  * batched_nms_p50_ms         — fixed-shape batched NMS, 1000 boxes x 80
+                                 classes, device time (slope-timed: one relay
+                                 call costs ~26-32ms, see ROADMAP round-2)
+  * input_pipeline_stall_pct   — steady-state host-stall of the threaded
+                                 loader + AutoAugment vs a device-resident
+                                 batch (north-star: "zero host-aug stalls")
+
+Timing protocol (perf/slope.py findings): warmup with a host fetch of a
+scalar, then N async back-to-back step calls ending in ONE host fetch.
+jax.block_until_ready is NOT a reliable barrier through the axon relay.
+
+Each metric reports measured model flops (XLA cost analysis on the compiled
+step) so MFU is exact, not hand-derived.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chip_peak_flops():
+    d = jax.devices()[0]
+    kind = getattr(d, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v4" in kind:
+        return 275e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    return 197e12
+
+
+def device_kind():
+    return getattr(jax.devices()[0], "device_kind", "unknown")
+
+
+def _build_step(model, criterion, make_loss_fn, batch, init_args,
+                skip_nonfinite=False):
+    from simpleaicv_tpu.core.engine import (EngineConfig, create_train_state,
+                                            make_train_step)
+    from simpleaicv_tpu.core.optim import OptimizerConfig, build_optimizer
+    from simpleaicv_tpu.core.schedule import SchedulerConfig
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng}, *init_args)
+    params = variables["params"]
+    state_vars = {k: v for k, v in variables.items() if k != "params"}
+    opt_cfg = OptimizerConfig(name="SGD", lr=0.01, momentum=0.9,
+                              weight_decay=1e-4)
+    sched_cfg = SchedulerConfig(scheduler="CosineLR", lr=0.01, epochs=100)
+    tx, _ = build_optimizer(opt_cfg, sched_cfg, 1000, params)
+    eng_cfg = EngineConfig(skip_non_finite=skip_nonfinite)
+    state = create_train_state(params, state_vars, tx, eng_cfg)
+    step = make_train_step(make_loss_fn(model, criterion), tx, eng_cfg)
+    return state, step, rng
+
+
+def _run_timed(step, state, batch, rng, steps):
+    """Returns (imgs_or_steps_per_sec measured over `steps`, flops/step)."""
+    state, m = step(state, batch, rng)
+    float(m["loss"])                       # compile + hard barrier
+    flops = None
+    try:
+        lowered = jax.jit(step).lower(state, batch, rng)
+        flops = lowered.compile().cost_analysis().get("flops")
+    except Exception:
+        pass
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, batch, jax.random.fold_in(rng, i))
+    float(m["loss"])
+    dt = time.perf_counter() - t0
+    return dt / steps, flops
+
+
+def bench_resnet50(steps=100, batch=128, image=224):
+    from simpleaicv_tpu.core.registry import BACKBONES
+    from simpleaicv_tpu.losses import CELoss
+    from simpleaicv_tpu.tasks.classification import make_loss_fn
+
+    model = BACKBONES.create("resnet50", num_classes=1000)
+    x0 = jnp.zeros((batch, image, image, 3), jnp.bfloat16)
+    data = {
+        "image": jnp.asarray(np.random.RandomState(0).randn(
+            batch, image, image, 3), jnp.bfloat16),
+        "label": jnp.asarray(np.random.RandomState(1).randint(
+            0, 1000, (batch,)), jnp.int32),
+    }
+    state, step, rng = _build_step(model, CELoss(), make_loss_fn, data,
+                                   (x0, True))
+    sec_per_step, flops = _run_timed(step, state, data, rng, steps)
+    imgs = batch / sec_per_step
+    out = {"value": round(imgs, 2), "unit": "images/s"}
+    if flops:
+        out["mfu"] = round(flops / sec_per_step / chip_peak_flops(), 4)
+    return out
+
+
+def bench_vit_b16(steps=50, batch=128, image=224):
+    from simpleaicv_tpu.core.registry import BACKBONES
+    from simpleaicv_tpu.losses import CELoss
+    from simpleaicv_tpu.tasks.classification import make_loss_fn
+
+    model = BACKBONES.create("vit_base_patch16", image_size=image,
+                             num_classes=1000)
+    x0 = jnp.zeros((batch, image, image, 3), jnp.bfloat16)
+    data = {
+        "image": jnp.asarray(np.random.RandomState(0).randn(
+            batch, image, image, 3), jnp.bfloat16),
+        "label": jnp.asarray(np.random.RandomState(1).randint(
+            0, 1000, (batch,)), jnp.int32),
+    }
+    state, step, rng = _build_step(model, CELoss(), make_loss_fn, data,
+                                   (x0, True))
+    sec_per_step, flops = _run_timed(step, state, data, rng, steps)
+    imgs = batch / sec_per_step
+    out = {"value": round(imgs, 2), "unit": "images/s"}
+    if flops:
+        out["mfu"] = round(flops / sec_per_step / chip_peak_flops(), 4)
+    return out
+
+
+def bench_fcos_800(steps=30, batch=8, image=800):
+    from simpleaicv_tpu.core.registry import MODELS, LOSSES
+    from simpleaicv_tpu.tasks.detection import make_loss_fn
+
+    model = MODELS.create("resnet50_fcos", num_classes=80)
+    rng_np = np.random.RandomState(0)
+    ann = -np.ones((batch, 32, 5), np.float32)
+    for i in range(batch):
+        for j in range(rng_np.randint(1, 20)):
+            x1, y1 = rng_np.rand(2) * 600
+            w, h = rng_np.rand(2) * 180 + 16
+            ann[i, j] = [x1, y1, x1 + w, y1 + h, rng_np.randint(80)]
+    data = {
+        "image": jnp.asarray(rng_np.randn(batch, image, image, 3),
+                             jnp.bfloat16),
+        "annots": jnp.asarray(ann),
+    }
+    x0 = jnp.zeros((2, image, image, 3), jnp.bfloat16)
+    state, step, rng = _build_step(model, LOSSES.create("FCOSLoss"),
+                                   make_loss_fn, data, (x0, True))
+    sec_per_step, flops = _run_timed(step, state, data, rng, steps)
+    out = {"value": round(batch / sec_per_step, 2), "unit": "images/s"}
+    if flops:
+        out["mfu"] = round(flops / sec_per_step / chip_peak_flops(), 4)
+    return out
+
+
+def bench_sam_b_1024(steps=10, batch=1, image=1024, use_flash=False):
+    from simpleaicv_tpu.core.registry import LOSSES
+    from simpleaicv_tpu.models.interactive_segmentation.sam import sam_b
+    from simpleaicv_tpu.tasks.interactive_segmentation import make_loss_fn
+
+    model = sam_b(image_size=image, use_flash_attention=use_flash)
+    rng_np = np.random.RandomState(0)
+    pts = np.zeros((batch, 1, 3), np.float32)
+    pts[:, :, :2] = rng_np.rand(batch, 1, 2) * image
+    pts[:, :, 2] = 1.0
+    data = {
+        "image": jnp.asarray(rng_np.randn(batch, image, image, 3),
+                             jnp.bfloat16),
+        "prompt_point": jnp.asarray(pts),
+        "prompt_box": None,
+        "prompt_mask": None,
+        "mask": jnp.asarray(rng_np.rand(batch, image, image) > 0.5,
+                            jnp.float32),
+    }
+    init_prompts = {"prompt_point": data["prompt_point"],
+                    "prompt_box": None, "prompt_mask": None}
+    state, step, rng = _build_step(
+        model, LOSSES.create("SAMMultiLevelLoss"), make_loss_fn, data,
+        (data["image"][:1], init_prompts))
+    sec_per_step, flops = _run_timed(step, state, data, rng, steps)
+    out = {"value": round(sec_per_step * 1000, 2), "unit": "ms/step",
+           "batch": batch}
+    if flops:
+        out["mfu"] = round(flops / sec_per_step / chip_peak_flops(), 4)
+    return out
+
+
+def bench_nms_p50(reps=(8, 32)):
+    """Device time per batched-NMS call (1000 boxes, 80 classes) via slope
+    timing: time rep-chained calls at two counts; the ~26-32ms relay latency
+    cancels in the difference."""
+    rng_np = np.random.RandomState(0)
+    n = 1000
+    ctr = rng_np.rand(n, 2) * 800
+    wh = rng_np.rand(n, 2) * 120 + 8
+    boxes = np.concatenate([ctr - wh / 2, ctr + wh / 2], 1).astype(np.float32)
+    scores = rng_np.rand(n).astype(np.float32)
+    classes = rng_np.randint(0, 80, n).astype(np.float32)
+
+    from simpleaicv_tpu.ops.nms import nms_keep_mask
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=3)
+    def chain(boxes, scores, classes, k):
+        # class-offset trick: per-class NMS in one fixed-shape pass
+        off = boxes + classes[:, None] * 4096.0
+
+        def body(i, s):
+            mask = nms_keep_mask(off, s, iou_threshold=0.5)
+            # data dependency so the loop can't be collapsed
+            return jnp.where(mask, s, s * 0.999999)
+
+        return jnp.sum(jax.lax.fori_loop(0, k, body, scores))
+
+    times = {}
+    for k in reps:
+        out = chain(jnp.asarray(boxes), jnp.asarray(scores),
+                    jnp.asarray(classes), k)
+        float(out)  # compile+sync
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = chain(jnp.asarray(boxes), jnp.asarray(scores),
+                        jnp.asarray(classes), k)
+        float(out)
+        times[k] = (time.perf_counter() - t0) / 5
+    k0, k1 = reps
+    per_call = (times[k1] - times[k0]) / (k1 - k0)
+    return {"value": round(per_call * 1000, 3), "unit": "ms",
+            "boxes": n, "classes": 80}
+
+
+def bench_input_pipeline(steps=30, batch=128, image=224):
+    """Steady-state loader stall: step time fed by the real threaded loader
+    (AutoAugment host aug) vs the same step on a device-resident batch."""
+    import tempfile, os
+    from simpleaicv_tpu.core.registry import BACKBONES
+    from simpleaicv_tpu.losses import CELoss
+    from simpleaicv_tpu.tasks.classification import make_loss_fn
+    from simpleaicv_tpu.data.datasets import FakeClassificationDataset
+    from simpleaicv_tpu.data.collater import ClassificationCollater
+    from simpleaicv_tpu.data.auto_rand_augment import AutoAugment
+    from simpleaicv_tpu.data.loader import DataLoader
+
+    model = BACKBONES.create("resnet50", num_classes=1000)
+    x0 = jnp.zeros((batch, image, image, 3), jnp.bfloat16)
+    const_batch = {
+        "image": jnp.asarray(np.random.RandomState(0).randn(
+            batch, image, image, 3), jnp.bfloat16),
+        "label": jnp.asarray(np.random.RandomState(1).randint(
+            0, 1000, (batch,)), jnp.int32),
+    }
+    state, step, rng = _build_step(model, CELoss(), make_loss_fn, const_batch,
+                                   (x0, True))
+    state, m = step(state, const_batch, rng)
+    float(m["loss"])
+
+    # compute-only reference
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, const_batch, jax.random.fold_in(rng, i))
+    float(m["loss"])
+    t_compute = (time.perf_counter() - t0) / steps
+
+    ds = FakeClassificationDataset(num_samples=batch * (steps + 4),
+                                   image_hw=image, num_classes=1000,
+                                   transform=AutoAugment(policy="original"))
+    loader = DataLoader(ds, batch, ClassificationCollater(),
+                        num_workers=8, shuffle=False, drop_last=True)
+    it = iter(loader)
+    b0 = next(it)
+    dev = {k: jnp.asarray(v) for k, v in b0.items()}
+    state, m = step(state, {"image": dev["image"].astype(jnp.bfloat16),
+                            "label": dev["label"].astype(jnp.int32)}, rng)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    done = 0
+    for b in it:
+        dev = {"image": jnp.asarray(b["image"]).astype(jnp.bfloat16),
+               "label": jnp.asarray(b["label"]).astype(jnp.int32)}
+        state, m = step(state, dev, jax.random.fold_in(rng, done))
+        done += 1
+        if done >= steps:
+            break
+    float(m["loss"])
+    t_loader = (time.perf_counter() - t0) / max(done, 1)
+    stall = max(0.0, (t_loader - t_compute) / t_compute) * 100
+    return {"value": round(stall, 2), "unit": "%",
+            "compute_ms": round(t_compute * 1000, 2),
+            "with_loader_ms": round(t_loader * 1000, 2)}
+
+
+ALL = {
+    "resnet50_224_train": bench_resnet50,
+    "vit_b16_224_train": bench_vit_b16,
+    "fcos_r50_800_train": bench_fcos_800,
+    "sam_b_1024_train_step": bench_sam_b_1024,
+    "batched_nms_1000x80_device_time": bench_nms_p50,
+    "input_pipeline_stall": bench_input_pipeline,
+}
+
+
+def run_portfolio(names=None):
+    out = {"device_kind": device_kind()}
+    for name, fn in ALL.items():
+        if names and name not in names:
+            continue
+        try:
+            t0 = time.perf_counter()
+            out[name] = fn()
+            out[name]["bench_seconds"] = round(time.perf_counter() - t0, 1)
+        except Exception as e:  # keep the portfolio robust
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
+
+
+if __name__ == "__main__":
+    import sys
+    names = sys.argv[1:] or None
+    print(json.dumps(run_portfolio(names), indent=1))

@@ -19,8 +19,14 @@ class config:
 
     train_dataset = FakeSAMSegmentationDataset(
         32, input_image_size, transform=SamResize(input_image_size))
-    test_dataset = FakeSAMSegmentationDataset(
-        8, input_image_size, transform=SamResize(input_image_size))
+    # two named test sets: per-epoch eval reports per-dataset + combined IoU
+    # (reference interactive_segmentation_scripts.py:87-105 test_loader_list)
+    test_dataset = {
+        "setA": FakeSAMSegmentationDataset(
+            8, input_image_size, transform=SamResize(input_image_size)),
+        "setB": FakeSAMSegmentationDataset(
+            8, input_image_size, transform=SamResize(input_image_size)),
+    }
     train_collater = SAMBatchCollater(resize=input_image_size)
     test_collater = SAMBatchCollater(resize=input_image_size,
                                      use_noise_bbox=False)

@@ -15,7 +15,7 @@ class config:
     model = MODELS.create(network, num_classes=num_classes, query_nums=20,
                           encoder_layer_nums=1, decoder_layer_nums=2,
                           hidden_inplanes=64, feedforward_planes=128,
-                          dn_groups=2, max_dn_gt=4)
+                          dn_number=8)
     train_criterion = LOSSES.create("DINODETRLoss", num_classes=num_classes)
 
     train_dataset = FakeDetectionDataset(

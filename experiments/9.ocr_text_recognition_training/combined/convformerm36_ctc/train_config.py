@@ -2,10 +2,11 @@
 9.ocr_text_recognition_training/convformerm36_ctc_model/train_config.py —
 32-high keep-ratio canvases, AdamW 1e-4, 50 epochs, bs 512, 12k-char table).
 
-Char set: the frozen Unicode-block table (data/char_table.py — superset of
-the reference's char_sets/final_char_table.py), so CTC class indices are
-dataset-independent and checkpoints stay compatible across subset changes.
-A ``<dataset_root>/char_table.txt`` (one char per line) overrides it."""
+Char set: the reference's EXACT 12,111-char ordering
+(data/char_table.py reference_char_table) so the CTC head width and class
+indices match reference checkpoints 1:1 (weight-convert compatible).
+A ``<dataset_root>/char_table.txt`` (one char per line) overrides it; pass
+"superset" for the dataset-independent generated table."""
 
 import os
 import sys
@@ -15,7 +16,7 @@ sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)),
 from path import text_recognition_dataset_path  # noqa: E402
 
 from simpleaicv_tpu.core.registry import LOSSES
-from simpleaicv_tpu.data.char_table import final_char_table
+from simpleaicv_tpu.data.char_table import reference_char_table
 from simpleaicv_tpu.data.datasets.text import TextRecognition
 from simpleaicv_tpu.data.text_recognition import (
     CTCTextLabelConverter, KeepRatioResizeTextRecognitionCollater)
@@ -27,7 +28,7 @@ def _load_char_table():
     if os.path.exists(path):
         with open(path, encoding="utf-8") as f:
             return [line.rstrip("\n") for line in f if line.rstrip("\n")]
-    return final_char_table()
+    return reference_char_table()
 
 
 class config:

@@ -123,12 +123,27 @@ class Trainer:
                                        config.train_collater, shuffle=True,
                                        drop_last=True, num_workers=workers,
                                        seed=seed)
+        # `test_dataset` may be a single dataset, or — like the reference's
+        # SAM validation across several test sets each epoch
+        # (tools/interactive_segmentation_scripts.py:87-105) — a dict
+        # {name: dataset} / list of datasets. `test_loaders` always maps
+        # name -> loader; `test_loader` stays the single/primary loader for
+        # tasks that evaluate one set.
         self.test_loader = None
-        if getattr(config, "test_dataset", None) is not None:
-            self.test_loader = DataLoader(config.test_dataset, bs,
-                                          config.test_collater, shuffle=False,
-                                          drop_last=False,
-                                          num_workers=workers, seed=seed)
+        self.test_loaders = {}
+        tds = getattr(config, "test_dataset", None)
+        if tds is not None:
+            if isinstance(tds, (list, tuple)):
+                tds = {getattr(d, "name", f"test{i}"): d
+                       for i, d in enumerate(tds)}
+            if not isinstance(tds, dict):
+                tds = {"test": tds}
+            self.test_loaders = {
+                name: DataLoader(d, bs, config.test_collater, shuffle=False,
+                                 drop_last=False, num_workers=workers,
+                                 seed=seed)
+                for name, d in tds.items()}
+            self.test_loader = next(iter(self.test_loaders.values()))
 
         steps_per_epoch = max(len(self.train_loader), 1)
         self.steps_per_epoch = steps_per_epoch

@@ -29,7 +29,8 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import List
 
-__all__ = ["final_char_table", "ASCII_SYMBOLS", "CJK_SYMBOLS"]
+__all__ = ["final_char_table", "reference_char_table", "ASCII_SYMBOLS",
+           "CJK_SYMBOLS"]
 
 _DIGITS = "0123456789"
 _UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
@@ -69,6 +70,25 @@ _SUPPLEMENTARY_CJK = (
     "\U0002CD8F" "\U0002CD90" "\U0002CD9F" "\U0002CDA0" "\U0002CDA8" "\U0002CDAD" "\U0002CDAE" "\U0002CDD5"
     "\U0002CE18" "\U0002CE1A" "\U0002CE23" "\U0002CE26" "\U0002CE2A" "\U0002CE7C" "\U0002CE88" "\U0002CE93"
 )
+
+
+@lru_cache(maxsize=1)
+def reference_char_table() -> List[str]:
+    """The reference's EXACT 12,111-char ordering (index-identical to
+    simpleAICV/text_recognition/char_sets/final_char_table.py), shipped as
+    contract data (reference_char_table.txt.gz — one char per position,
+    utf-8).  Use this for reference-recipe configs: the CTC head width and
+    class indices then match reference checkpoints 1:1; the generated
+    superset below (``final_char_table``) remains the default for new
+    recipes where index stability across dataset subsets matters more."""
+    import gzip
+    import os
+    path = os.path.join(os.path.dirname(__file__),
+                        "reference_char_table.txt.gz")
+    with gzip.open(path, "rb") as f:
+        chars = list(f.read().decode("utf-8"))
+    assert len(chars) == 12111, f"corrupt table: {len(chars)}"
+    return chars
 
 
 @lru_cache(maxsize=1)

@@ -15,9 +15,21 @@ __all__ = ["CTCTextLabelConverter", "KeepRatioResizeTextRecognitionCollater",
 
 
 class CTCTextLabelConverter:
-    """chars <-> indices; index 0 is the CTC blank ('[B]')."""
+    """chars <-> indices; index 0 is the CTC blank ('[B]').
 
-    def __init__(self, chars: Sequence[str], str_max_length: int = 80):
+    ``chars`` may be an explicit sequence, or the named tables
+    ``"reference"`` (the reference's exact 12,111-char ordering —
+    checkpoint-index-compatible) / ``"superset"`` (the deterministic
+    generated superset, see data/char_table.py)."""
+
+    def __init__(self, chars: Sequence[str] = "reference",
+                 str_max_length: int = 80):
+        if chars == "reference":
+            from .char_table import reference_char_table
+            chars = reference_char_table()
+        elif chars == "superset":
+            from .char_table import final_char_table
+            chars = final_char_table()
         self.chars = list(chars)
         self.str_max_length = str_max_length
         self.char_to_idx = {c: i + 1 for i, c in enumerate(self.chars)}

@@ -75,8 +75,11 @@ class DINODETRLoss:
             cost, valid, vmap_method="sequential")
 
     def _losses_for(self, cls_pred, reg_pred, annotations, matched,
-                    total_targets):
-        """Focal cls + L1 + GIoU given matched gt indices (−1 unmatched)."""
+                    total_targets, supervise=None):
+        """Focal cls + L1 + GIoU given matched gt indices (−1 unmatched:
+        background-supervised). ``supervise`` [B,Q] optionally excludes
+        queries from the cls loss entirely (dn PADDING slots — the reference
+        never puts them in map_known_indice, dinodetr.py:233-246)."""
         safe = jnp.clip(matched, 0, None)
         gt_boxes = jnp.take_along_axis(annotations[..., :4], safe[..., None],
                                        1)
@@ -91,8 +94,10 @@ class DINODETRLoss:
         alpha_f = jnp.where(one_hot == 1.0, self.alpha, 1 - self.alpha)
         pt = jnp.where(one_hot == 1.0, p, 1 - p)
         bce = -(one_hot * jnp.log(p) + (1 - one_hot) * jnp.log(1 - p))
-        cls_loss = jnp.sum(alpha_f * (1 - pt)**self.gamma * bce) / \
-            total_targets
+        focal = alpha_f * (1 - pt)**self.gamma * bce
+        if supervise is not None:
+            focal = focal * supervise.astype(jnp.float32)[..., None]
+        cls_loss = jnp.sum(focal) / total_targets
 
         reg = jnp.clip(reg_pred.astype(jnp.float32), 1e-4, 1 - 1e-4)
         l1 = jnp.sum(jnp.abs(reg - gt_boxes), -1)
@@ -138,20 +143,21 @@ class DINODETRLoss:
         # positives regress/classify, negatives are background
         if "dn_meta" in preds and preds["dn_meta"] is not None:
             meta = preds["dn_meta"]
-            m = meta["max_dn_gt"]
-            pad = meta["pad_size"]
-            gt_idx = jnp.arange(pad) % (2 * m) % m
-            dn_matched = jnp.broadcast_to(gt_idx[None],
-                                          meta["dn_valid"].shape)
+            # slot -> gt mapping comes from the model (dynamic group layout,
+            # models/detection/dinodetr.py _prepare_dn); positives regress +
+            # classify their gt, valid negatives are background, padding
+            # slots are excluded from supervision entirely
             active = meta["dn_valid"] & meta["dn_is_positive"]
-            dn_matched = jnp.where(active, dn_matched, -1).astype(jnp.int32)
+            dn_matched = jnp.where(active, meta["dn_gt_index"],
+                                   -1).astype(jnp.int32)
             dn_cls = preds["dn_pred_logits"]
             dn_reg = preds["dn_pred_boxes"]
             dn_total = jnp.clip(jnp.sum(active), 1.0, None)
             for layer in range(dn_cls.shape[0]):
                 c, l1, g = self._losses_for(dn_cls[layer], dn_reg[layer],
-                                            annotations[:, :m], dn_matched,
-                                            dn_total)
+                                            annotations, dn_matched,
+                                            dn_total,
+                                            supervise=meta["dn_valid"])
                 tag = ("dn_" if layer == dn_cls.shape[0] - 1
                        else f"dn_layer_{layer}_")
                 loss_dict[f"{tag}cls_loss"] = c

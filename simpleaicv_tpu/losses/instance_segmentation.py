@@ -9,9 +9,10 @@ kernel gathers become one fixed-shape computation: positive (cell, gt) pairs
 are enumerated as a [P_cells, M] mask per level, the top ``max_pairs``
 (by validity) are gathered, their kernels are batch-matmuled against the mask
 features (dynamic conv == einsum) and dice is masked by pair validity.
-``max_pairs`` (default 64/level/image) caps compile-time cost; overflowing
-pairs (rare: needs >7 objects matching one level) are dropped with a count in
-the metrics.
+The default cap is 9*M (each gt claims at most a 3x3 cell region), which is
+LOSSLESS at any annotation count — equivalence vs the reference loss is
+stress-tested at the COCO-max 93 objects (tests/test_reference_loss_parity).
+Pass ``max_pairs_per_level`` explicitly only to subsample dice for memory.
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ class SOLOV2Loss:
                  grid_nums=(40, 36, 24, 16, 12),
                  mask_feature_upsample_scale=4, sigma=0.2, alpha=0.25,
                  gamma=2.0, cls_loss_weight=1.0, dice_loss_weight=3.0,
-                 max_pairs_per_level=64):
+                 max_pairs_per_level=None):
         self.scale_ranges = scale_ranges
         self.grid_nums = grid_nums
         self.upsample_scale = mask_feature_upsample_scale
@@ -135,7 +136,13 @@ class SOLOV2Loss:
             # ---- dice on positive (cell, gt) pairs (capped) ----
             pair_valid = assign.reshape(b, mm, g * g)  # [B,M,G2]
             flat = pair_valid.transpose(0, 2, 1).reshape(b, -1)  # [B,G2*M]
-            k = min(self.max_pairs, flat.shape[1])
+            # each gt claims at most a 3x3 cell region (reference
+            # losses.py:878-884 top/down/left/right clamp to coord+-1), so
+            # 9*M pairs is LOSSLESS; the default cap is therefore exact at
+            # any annotation count, and max_pairs_per_level only exists to
+            # trade memory for a subsampled dice estimate on huge images.
+            cap = self.max_pairs if self.max_pairs else 9 * mm
+            k = min(cap, flat.shape[1])
             scores, idx = jax.lax.top_k(flat.astype(jnp.float32), k)
             cell_idx = idx // mm
             gt_idx = idx % mm

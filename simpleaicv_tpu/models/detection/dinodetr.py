@@ -10,10 +10,10 @@ TPU-first redesign:
   * all shapes static: the square collater canvas means no padding masks and
     valid_ratios == 1 (the reference's mask plumbing exists for ragged
     batches);
-  * denoising uses a static group layout: ``dn_groups`` groups of
-    2*max_dn_gt (positive+negative) queries built from the padded [B,M,5]
-    annotations with validity masks, instead of the reference's
-    batch-max-dependent dynamic group count (dinodetr.py:128-277).
+  * denoising keeps the reference's batch-max-dependent DYNAMIC group
+    count (dinodetr.py:144-210) under static shapes: a fixed 2*dn_number
+    slot budget whose group width/count are traced values, so one compile
+    serves every annotation count and every GT gets dn supervision.
 """
 
 from __future__ import annotations
@@ -190,9 +190,11 @@ class DINODETR(nn.Module):
     encoder_layer_nums: int = 6
     decoder_layer_nums: int = 6
     num_classes: int = 80
-    # static denoising layout: dn_groups groups of 2*max_dn_gt queries
-    dn_groups: int = 5
-    max_dn_gt: int = 20
+    # contrastive denoising budget: 2*dn_number query SLOTS (static shape),
+    # sliced into a DYNAMIC group count = dn_number // batch-max-GT exactly
+    # like the reference (dinodetr.py:144-165) — group ids are traced
+    # values, so one compile covers every annotation count
+    dn_number: int = 100
     dn_box_noise_scale: float = 0.4
     dn_label_noise_ratio: float = 0.5
     use_gradient_checkpoint: bool = False
@@ -298,7 +300,7 @@ class DINODETR(nn.Module):
 
         # ---- denoising queries (train only; static layout) ----
         dn_meta = None
-        if train and annotations is not None and self.dn_groups > 0:
+        if train and annotations is not None and self.dn_number > 0:
             label_enc = nn.Embed(self.num_classes + 1, c,
                                  name="label_encoder")
             dn_tgt, dn_ref_unsig, attn_mask, dn_meta = self._prepare_dn(
@@ -356,33 +358,50 @@ class DINODETR(nn.Module):
         return outputs
 
     def _prepare_dn(self, annotations, label_enc):
-        """Static-shape contrastive denoising (reference
-        dinodetr.py:128-277): dn_groups groups of [pos | neg] * max_dn_gt."""
+        """Contrastive denoising with the reference's DYNAMIC group layout
+        under STATIC shapes (reference dinodetr.py:144-210): the slot budget
+        is fixed at ``pad_size = 2*dn_number`` queries, but the per-group
+        width ``2*m`` (m = batch-max valid-GT count, the reference's
+        ``single_pad``) and group count ``dn_number // m`` are TRACED values
+        — slot s holds [pos | neg] copies of gt ``(s % (2m)) % m`` of its
+        group ``s // (2m)``.  One compile therefore serves every annotation
+        count {1..M}, and every GT (up to M) gets denoising supervision, not
+        just the first ``max_dn_gt`` of a fixed tiling."""
         b, m_all = annotations.shape[0], annotations.shape[1]
-        m = min(self.max_dn_gt, m_all)
-        ann = annotations[:, :m]
-        cls = ann[..., 4]
-        valid = cls >= 0
-        boxes = ann[..., :4].astype(jnp.float32)
-        g = self.dn_groups
-        pad_size = 2 * g * m
+        cls_all = annotations[..., 4]
+        valid_all = cls_all >= 0                               # [B,M]
+        num_valid = jnp.sum(valid_all.astype(jnp.int32), 1)    # [B]
+        m_dyn = jnp.clip(jnp.max(num_valid), 1, m_all)         # single_pad
+        g_dyn = jnp.maximum(self.dn_number // m_dyn, 1)        # group count
+        pad_size = 2 * self.dn_number                          # static slots
+
+        s = jnp.arange(pad_size)
+        group_id = s // (2 * m_dyn)
+        within = s % (2 * m_dyn)
+        is_neg = within >= m_dyn                               # [pad]
+        gt_idx = within % m_dyn                                # [pad]
+        in_layout = group_id < g_dyn
+        # valid-first padding: gt j exists in image i iff j < num_valid[i]
+        valid = in_layout[None, :] & (gt_idx[None, :] <
+                                      num_valid[:, None])      # [B,pad]
+
+        take = jnp.broadcast_to(gt_idx[None], (b, pad_size))
+        cls_t = jnp.take_along_axis(cls_all, take, 1)          # [B,pad]
+        box_t = jnp.take_along_axis(
+            annotations[..., :4].astype(jnp.float32),
+            take[..., None], 1)                                # [B,pad,4]
 
         rng_label = self.make_rng("dn")
         rngs = jax.random.split(rng_label, 4)
 
-        # tile [g, 2, m]
-        cls_t = jnp.tile(cls[:, None, None, :], (1, g, 2, 1))
-        box_t = jnp.tile(boxes[:, None, None, :, :], (1, g, 2, 1, 1))
-        valid_t = jnp.tile(valid[:, None, None, :], (1, g, 2, 1))
-
-        # label noise
+        # label noise (reference :218-224: flip prob ratio*0.5)
         flip = jax.random.bernoulli(rngs[0], self.dn_label_noise_ratio * 0.5,
                                     cls_t.shape)
         rand_cls = jax.random.randint(rngs[1], cls_t.shape, 0,
                                       self.num_classes)
         noised_cls = jnp.where(flip, rand_cls.astype(cls_t.dtype),
                                jnp.clip(cls_t, 0, None))
-        # box noise: pos group scale 1x, neg group (index 1) scale in (1,2]
+        # box noise: positive slots scale 1x, negative slots scale (1,2]
         diff = jnp.concatenate([box_t[..., 2:] / 2, box_t[..., 2:]], -1)
         noise = jax.random.uniform(rngs[2], box_t.shape, minval=-1.0,
                                    maxval=1.0)
@@ -391,28 +410,28 @@ class DINODETR(nn.Module):
         sign = jnp.where(noise >= 0, 1.0, -1.0)
         pos_noise = noise * diff * self.dn_box_noise_scale
         neg_noise = sign * neg_extra * diff * self.dn_box_noise_scale
-        is_neg = jnp.arange(2)[None, None, :, None, None] == 1
-        noised_box = box_t + jnp.where(is_neg, neg_noise, pos_noise)
+        noised_box = box_t + jnp.where(is_neg[None, :, None], neg_noise,
+                                       pos_noise)
         noised_box = jnp.clip(noised_box, 0.0, 1.0)
 
-        dn_tgt = label_enc(noised_cls.astype(jnp.int32)).reshape(
-            b, pad_size, -1)
-        dn_ref_unsig = inverse_sigmoid(noised_box.reshape(b, pad_size, 4))
+        dn_tgt = label_enc(noised_cls.astype(jnp.int32))       # [B,pad,c]
+        # padding slots carry a zero embedding (reference padding_label)
+        dn_tgt = jnp.where(valid[..., None], dn_tgt, 0.0)
+        dn_ref_unsig = inverse_sigmoid(noised_box)
 
-        # attention mask: [pad+Q, pad+Q]; True = blocked
+        # attention mask: [pad+Q, pad+Q]; True = blocked. Matching queries
+        # cannot see dn queries; dn groups (traced ids) are isolated.
         total = pad_size + self.query_nums
         mask = jnp.zeros((total, total), bool)
-        # matching queries cannot see dn queries
         mask = mask.at[pad_size:, :pad_size].set(True)
-        group = jnp.arange(pad_size) // (2 * m)
-        diff_group = group[:, None] != group[None, :]
+        diff_group = group_id[:, None] != group_id[None, :]
         mask = mask.at[:pad_size, :pad_size].set(diff_group)
 
-        dn_meta = {"pad_size": pad_size, "dn_groups": g, "max_dn_gt": m,
-                   "dn_valid": valid_t.reshape(b, pad_size),
-                   "dn_is_positive": jnp.tile(
-                       (jnp.arange(2) == 0)[None, None, :, None],
-                       (b, g, 1, m)).reshape(b, pad_size)}
+        dn_meta = {"pad_size": pad_size,
+                   "dn_gt_index": take,                        # [B,pad]
+                   "dn_valid": valid,
+                   "dn_is_positive": jnp.broadcast_to(~is_neg[None],
+                                                      (b, pad_size))}
         return dn_tgt, dn_ref_unsig, mask, dn_meta
 
 

@@ -92,7 +92,7 @@ def make_detr_loss_fn(model, criterion) -> Callable:
             return model.apply(variables, *args, train, rngs=rngs, **kw), \
                 state_vars
 
-        if hasattr(model, "dn_groups"):  # DINO-DETR signature
+        if hasattr(model, "dn_number"):  # DINO-DETR signature
             outs, new_vars = run(batch["image"], batch["scaled_annots"])
         else:
             outs, new_vars = run(batch["image"], batch["mask"])

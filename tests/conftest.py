@@ -15,6 +15,11 @@ jax.config.update("jax_num_cpu_devices", 8)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process, big compiles)")
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from simpleaicv_tpu.parallel import MeshConfig, make_mesh

@@ -123,3 +123,103 @@ def test_yolact_decoder_end_to_end():
     pad = scores == -1
     assert (masks[pad].sum(axis=(-2, -1)) == 0).all()
     assert (labels[pad] == -1).all()
+
+
+def test_solov2_dice_lossless_at_coco_max_annotations():
+    """Scale stress (VERDICT r2 #9): 93 objects — the COCO maximum — with
+    sizes that multi-hit the lower scale ranges. The default pair cap
+    (9*M, lossless by the reference's 3x3-cell region bound,
+    losses.py:878-884) must (a) equal a full uncapped G2*M enumeration,
+    (b) match an uncapped per-(gt,cell)-pair numpy restatement of the
+    reference dice semantics (losses.py:793-925 + 674-755) on the same
+    feature-resolution masks, and (c) the actual pair count must exceed the
+    old fixed 64/level cap — i.e. this test would have caught the drop."""
+    rng = np.random.RandomState(7)
+    b, m_annots = 1, 100
+    fh = fw = 32
+    ch = 16
+    upsample = 4
+    input_hw = fh * upsample  # 128
+    grid_nums = (12, 10, 8, 6, 4)
+    scale_ranges = ((1, 32), (16, 48), (32, 64), (48, 96), (64, 2048))
+    sigma = 0.2
+
+    ann = -np.ones((b, m_annots, 5), np.float32)
+    masks = np.zeros((b, m_annots, fh, fw), np.float32)
+    for j in range(93):  # COCO max objects per image
+        w, h = rng.rand(2) * 40 + 10            # sqrt-areas ~10-45
+        x1 = rng.rand() * (input_hw - w - 1)
+        y1 = rng.rand() * (input_hw - h - 1)
+        ann[0, j] = [x1, y1, x1 + w, y1 + h, rng.randint(4)]
+        mx1, my1 = int(x1 / upsample), int(y1 / upsample)
+        mx2 = max(mx1 + 1, int((x1 + w) / upsample))
+        my2 = max(my1 + 1, int((y1 + h) / upsample))
+        masks[0, j, my1:my2, mx1:mx2] = 1.0
+
+    mask_feat = rng.randn(b, fh, fw, ch).astype(np.float32) * 0.2
+    kernel_preds = [rng.randn(b, g, g, ch).astype(np.float32) * 0.2
+                    for g in grid_nums]
+    cate_preds = [rng.randn(b, g, g, 4).astype(np.float32)
+                  for g in grid_nums]
+    preds = (jnp.asarray(mask_feat),
+             [jnp.asarray(k) for k in kernel_preds],
+             [jnp.asarray(c) for c in cate_preds])
+
+    kw = dict(grid_nums=grid_nums, scale_ranges=scale_ranges, sigma=sigma)
+    loss_default = LOSSES.create("SOLOV2Loss", **kw)(
+        preds, jnp.asarray(ann), jnp.asarray(masks))
+    loss_full = LOSSES.create(
+        "SOLOV2Loss", max_pairs_per_level=max(grid_nums)**2 * m_annots,
+        **kw)(preds, jnp.asarray(ann), jnp.asarray(masks))
+    np.testing.assert_allclose(float(loss_default["dice_loss"]),
+                               float(loss_full["dice_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(float(loss_default["cls_loss"]),
+                               float(loss_full["cls_loss"]), rtol=1e-6)
+
+    # uncapped per-pair restatement of the reference dice enumeration
+    ys, xs = np.mgrid[0:fh, 0:fw].astype(np.float32)
+    dice_terms = []
+    pairs_per_level = np.zeros(len(grid_nums), np.int64)
+    for j in range(m_annots):
+        x1, y1, x2, y2, cls = ann[0, j]
+        if cls < 0:
+            continue
+        area = np.sqrt(max((x2 - x1) * (y2 - y1), 0.0))
+        mk = masks[0, j]
+        if mk.sum() <= 0:
+            continue
+        m00 = max(mk.sum(), 1e-4)
+        cx = float((mk * xs).sum() / m00) * upsample
+        cy = float((mk * ys).sum() / m00) * upsample
+        half_w, half_h = 0.5 * (x2 - x1) * sigma, 0.5 * (y2 - y1) * sigma
+        for lvl, ((lo, hi), g) in enumerate(zip(scale_ranges, grid_nums)):
+            if not (lo <= area <= hi):
+                continue
+            coord_w = int(cx / input_hw * g)
+            coord_h = int(cy / input_hw * g)
+            top = max(max(0, int((cy - half_h) / input_hw * g)), coord_h - 1)
+            down = min(min(g - 1, int((cy + half_h) / input_hw * g)),
+                       coord_h + 1)
+            left = max(max(0, int((cx - half_w) / input_hw * g)), coord_w - 1)
+            right = min(min(g - 1, int((cx + half_w) / input_hw * g)),
+                        coord_w + 1)
+            for gi in range(top, down + 1):
+                for gj in range(left, right + 1):
+                    pairs_per_level[lvl] += 1
+                    kern = kernel_preds[lvl][0, gi, gj]          # [ch]
+                    pm = 1.0 / (1.0 + np.exp(-(mask_feat[0] @ kern)))
+                    pm = np.clip(pm, 1e-4, 1 - 1e-4)
+                    a = float((pm * mk).sum())
+                    bb = float((pm * pm).sum())
+                    cc = float((mk * mk).sum())
+                    dice_terms.append(1.0 - 2.0 * a / (bb + cc + 1e-4))
+    ref_dice = 3.0 * float(np.mean(dice_terms))  # dice_loss_weight
+    np.testing.assert_allclose(float(loss_default["dice_loss"]), ref_dice,
+                               rtol=1e-4)
+
+    # the old fixed 64/level cap WOULD have dropped pairs at this scale
+    assert pairs_per_level.max() > 64, pairs_per_level
+    loss_old_cap = LOSSES.create("SOLOV2Loss", max_pairs_per_level=64,
+                                 **kw)(preds, jnp.asarray(ann),
+                                       jnp.asarray(masks))
+    assert abs(float(loss_old_cap["dice_loss"]) - ref_dice) > 1e-5

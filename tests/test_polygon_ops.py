@@ -136,3 +136,25 @@ def test_final_char_table_frozen():
         spec.loader.exec_module(m)
         ours = set(t)
         assert all(c in ours for c in m.final_char_table)
+
+
+def test_reference_char_table_index_exact():
+    """reference_char_table round-trips the reference asset 1:1
+    (index-exact), making reference text-recognition checkpoints
+    weight-convert compatible (12,111 classes + blank)."""
+    from simpleaicv_tpu.data.char_table import reference_char_table
+    ours = reference_char_table()
+    assert len(ours) == 12111
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_final_char_table",
+        "/root/reference/simpleAICV/text_recognition/char_sets/"
+        "final_char_table.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    assert ours == list(m.final_char_table)
+
+    from simpleaicv_tpu.data.text_recognition import CTCTextLabelConverter
+    conv = CTCTextLabelConverter("reference")
+    assert conv.num_classes == 12112
+    assert conv.char_to_idx["0"] == 1

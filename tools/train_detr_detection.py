@@ -16,8 +16,8 @@ class DETRTrainer(Trainer):
     def _init_variables(self, model, rng, init_batch):
         s = self.config.input_image_size
         images = init_batch["image"]
-        if hasattr(model, "dn_groups"):  # DINO-DETR: init WITH dn queries
-            m = model.max_dn_gt
+        if hasattr(model, "dn_number"):  # DINO-DETR: init WITH dn queries
+            m = getattr(self.config, "max_annots_num", 8)
             ann = np.full((images.shape[0], m, 5), -1.0, np.float32)
             ann[:, 0] = [0.5, 0.5, 0.2, 0.2, 0]
             @jax.jit

@@ -57,20 +57,28 @@ class SAMTrainer(Trainer):
         self._iou_stats = _iou_stats
 
     def _evaluate(self, eval_step, params, state_vars, loader, shard_fn):
-        """Per-epoch point-prompt validation (reference
-        tools/interactive_segmentation_scripts.py:87-105: best-mask IoU over
-        the val set; best checkpoint selected on mean IoU)."""
-        del eval_step
-        iou_sum = n = 0.0
-        for batch in loader:
-            g = shard_fn(batch)
-            pred = self._predict(params, state_vars, g["image"],
-                                 g["prompt_point"])       # [B,1,H,W] logits
-            s, c = self._iou_stats(pred, g["mask"])       # replicated scalars
-            iou_sum += float(s)
-            n += float(c)
-        miou = iou_sum / max(n, 1.0)
-        return {"iou": miou, "key_metric": miou}
+        """Per-epoch point-prompt validation across EVERY configured test
+        dataset (reference tools/interactive_segmentation_scripts.py:87-105
+        loops `test_loader_list`, reporting per-dataset IoU); the best
+        checkpoint is selected on the sample-weighted combined mean IoU."""
+        del eval_step, loader
+        metrics = {}
+        tot_sum = tot_n = 0.0
+        for name, dl in self.test_loaders.items():
+            iou_sum = n = 0.0
+            for batch in dl:
+                g = shard_fn(batch)
+                pred = self._predict(params, state_vars, g["image"],
+                                     g["prompt_point"])   # [B,1,H,W] logits
+                s, c = self._iou_stats(pred, g["mask"])   # replicated scalars
+                iou_sum += float(s)
+                n += float(c)
+            metrics[f"iou/{name}"] = iou_sum / max(n, 1.0)
+            tot_sum += iou_sum
+            tot_n += n
+        miou = tot_sum / max(tot_n, 1.0)
+        metrics.update({"iou": miou, "key_metric": miou})
+        return metrics
 
     def _init_variables(self, model, rng, init_batch):
         s = self.config.input_image_size
