@@ -266,32 +266,39 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
     float(m["loss"])
     t_compute = (time.perf_counter() - t0) / steps
 
-    ds = FakeClassificationDataset(num_samples=batch * (steps + 4),
-                                   image_hw=image, num_classes=1000,
-                                   transform=AutoAugment(policy="original"))
-    loader = DataLoader(ds, batch, ClassificationCollater(),
-                        num_workers=8, shuffle=False, drop_last=True)
-    it = iter(loader)
-    b0 = next(it)
-    dev = {k: jnp.asarray(v) for k, v in b0.items()}
-    state, m = step(state, {"image": dev["image"].astype(jnp.bfloat16),
-                            "label": dev["label"].astype(jnp.int32)}, rng)
-    float(m["loss"])
-    t0 = time.perf_counter()
-    done = 0
-    for b in it:
-        dev = {"image": jnp.asarray(b["image"]).astype(jnp.bfloat16),
-               "label": jnp.asarray(b["label"]).astype(jnp.int32)}
-        state, m = step(state, dev, jax.random.fold_in(rng, done))
-        done += 1
-        if done >= steps:
-            break
-    float(m["loss"])
-    t_loader = (time.perf_counter() - t0) / max(done, 1)
-    stall = max(0.0, (t_loader - t_compute) / t_compute) * 100
-    return {"value": round(stall, 2), "unit": "%",
-            "compute_ms": round(t_compute * 1000, 2),
-            "with_loader_ms": round(t_loader * 1000, 2)}
+    out = {"compute_ms": round(t_compute * 1000, 2)}
+    for mode in ("process", "thread"):
+        ds = FakeClassificationDataset(num_samples=batch * (steps + 4),
+                                       image_hw=image, num_classes=1000,
+                                       transform=AutoAugment(
+                                           policy="original"))
+        loader = DataLoader(ds, batch, ClassificationCollater(),
+                            num_workers=8, shuffle=False, drop_last=True,
+                            worker_mode=mode)
+        it = iter(loader)
+        b0 = next(it)
+        dev = {k: jnp.asarray(v) for k, v in b0.items()}
+        state, m = step(state, {"image": dev["image"].astype(jnp.bfloat16),
+                                "label": dev["label"].astype(jnp.int32)},
+                        rng)
+        float(m["loss"])
+        t0 = time.perf_counter()
+        done = 0
+        for b in it:
+            dev = {"image": jnp.asarray(b["image"]).astype(jnp.bfloat16),
+                   "label": jnp.asarray(b["label"]).astype(jnp.int32)}
+            state, m = step(state, dev, jax.random.fold_in(rng, done))
+            done += 1
+            if done >= steps:
+                break
+        float(m["loss"])
+        t_loader = (time.perf_counter() - t0) / max(done, 1)
+        stall = max(0.0, (t_loader - t_compute) / t_compute) * 100
+        out[f"{mode}_stall_pct"] = round(stall, 2)
+        out[f"{mode}_with_loader_ms"] = round(t_loader * 1000, 2)
+    # headline value: the recommended (process) mode for PIL-heavy aug
+    out.update({"value": out["process_stall_pct"], "unit": "%"})
+    return out
 
 
 ALL = {

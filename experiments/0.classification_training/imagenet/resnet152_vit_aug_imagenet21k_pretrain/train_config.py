@@ -58,6 +58,8 @@ class config:
     seed = 0
     batch_size = 2048
     num_workers = 16
+    # PIL AutoAugment is GIL-bound: fork workers keep the chip fed
+    loader_worker_mode = "process"
     accumulation_steps = 1
 
     optimizer = (

@@ -57,6 +57,8 @@ class config:
     seed = 0
     batch_size = 512
     num_workers = 16
+    # PIL AutoAugment is GIL-bound: fork workers keep the chip fed
+    loader_worker_mode = "process"
     accumulation_steps = 2
 
     optimizer = (

@@ -119,10 +119,14 @@ class Trainer:
         from ..data.loader import DataLoader
         bs = config.batch_size
         workers = getattr(config, "num_workers", 4)
+        # loader_worker_mode "process" parallelises GIL-bound python/PIL
+        # augmentation (AutoAugment) across fork workers; "thread" (default)
+        # is right for cv2/native-decode pipelines (data/loader.py)
+        wmode = getattr(config, "loader_worker_mode", "thread")
         self.train_loader = DataLoader(config.train_dataset, bs,
                                        config.train_collater, shuffle=True,
                                        drop_last=True, num_workers=workers,
-                                       seed=seed)
+                                       seed=seed, worker_mode=wmode)
         # `test_dataset` may be a single dataset, or — like the reference's
         # SAM validation across several test sets each epoch
         # (tools/interactive_segmentation_scripts.py:87-105) — a dict

@@ -22,11 +22,32 @@ import numpy as np
 import jax
 
 
+# process-mode worker state (set by fork; never touches jax in the child)
+_WORKER_DS = None
+_WORKER_COLLATE = None
+
+
+def _proc_init(ds, collate):
+    global _WORKER_DS, _WORKER_COLLATE
+    _WORKER_DS, _WORKER_COLLATE = ds, collate
+
+
+def _proc_fetch_batch(idxs):
+    return _WORKER_COLLATE([_WORKER_DS[int(i)] for i in idxs])
+
+
 class DataLoader:
 
     def __init__(self, dataset, batch_size: int, collater: Callable,
                  shuffle: bool = True, drop_last: bool = True,
-                 num_workers: int = 4, seed: int = 0, prefetch: int = 4):
+                 num_workers: int = 4, seed: int = 0, prefetch: int = 4,
+                 worker_mode: str = "thread"):
+        """worker_mode: "thread" (default — right when the per-sample work
+        releases the GIL: cv2, numpy, native JPEG decode) or "process"
+        (fork-based worker pool, one collated batch per task — right for
+        GIL-bound python/PIL augmentation like AutoAugment, where threads
+        serialise; measured 10x+ loader throughput in bench_all's
+        input-pipeline benchmark). Process workers never touch jax."""
         self.dataset = dataset
         self.global_batch_size = batch_size
         self.collater = collater
@@ -35,6 +56,8 @@ class DataLoader:
         self.num_workers = max(num_workers, 1)
         self.seed = seed
         self.prefetch = prefetch
+        self.worker_mode = worker_mode
+        assert worker_mode in ("thread", "process"), worker_mode
         self.epoch = 0
 
         n_proc = jax.process_count()
@@ -63,11 +86,48 @@ class DataLoader:
         per = n // np_
         return order[pid * per:(pid + 1) * per]
 
+    def _iter_process(self, indices, bs, n_batches) -> Iterator:
+        """Fork-pool iteration: one task = one collated batch. Bounded
+        in-flight via a semaphore so result memory stays capped at
+        ~(prefetch + workers) batches; worker exceptions re-raise in the
+        consumer through imap."""
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        sem = threading.Semaphore(self.prefetch + self.num_workers)
+        stop = threading.Event()
+
+        def tasks():
+            # n_batches (= len(self)) already counts the remainder batch
+            # when drop_last=False
+            for b in range(n_batches):
+                while not stop.is_set():
+                    if sem.acquire(timeout=0.05):
+                        break
+                else:
+                    return
+                if stop.is_set():
+                    return
+                yield list(indices[b * bs:min((b + 1) * bs, len(indices))])
+
+        pool = ctx.Pool(self.num_workers, initializer=_proc_init,
+                        initargs=(self.dataset, self.collater))
+        try:
+            for batch in pool.imap(_proc_fetch_batch, tasks()):
+                sem.release()
+                yield batch
+        finally:
+            stop.set()
+            pool.terminate()
+            pool.join()
+
     def __iter__(self) -> Iterator:
         indices = self._local_indices()
         bs = self.local_batch_size
         n_batches = len(self)
         n_samples = n_batches * bs if self.drop_last else len(indices)
+        if self.worker_mode == "process":
+            yield from self._iter_process(indices, bs, n_batches)
+            return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -169,3 +169,50 @@ def test_loader_propagates_dataset_errors_and_survives_early_break():
                 break
     full = [b for b in loader]
     assert len(full) == 16
+
+
+def test_loader_process_mode_matches_thread_mode():
+    """worker_mode='process' (fork pool, for GIL-bound PIL augmentation)
+    must deliver the exact same batches as the thread mode, propagate
+    worker exceptions, and survive early break without hanging."""
+    import pytest
+
+    ds = FakeClassificationDataset(64, 8, 10)
+    kw = dict(shuffle=True, seed=5, num_workers=2)
+    t_loader = DataLoader(ds, 16, ClassificationCollater(),
+                          worker_mode="thread", **kw)
+    p_loader = DataLoader(ds, 16, ClassificationCollater(),
+                          worker_mode="process", **kw)
+    t_loader.set_epoch(2)
+    p_loader.set_epoch(2)
+    tb = list(t_loader)
+    pb = list(p_loader)
+    assert len(tb) == len(pb) == 4
+    for a, b in zip(tb, pb):
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_allclose(a["image"], b["image"])
+
+    # early break must not deadlock
+    for i, _ in enumerate(p_loader):
+        if i == 1:
+            break
+
+    # non-drop_last remainder batch
+    rem = DataLoader(ds, 24, ClassificationCollater(), shuffle=False,
+                     drop_last=False, num_workers=2, worker_mode="process")
+    sizes = [len(b["label"]) for b in rem]
+    assert sizes == [24, 24, 16]
+
+    class Exploding:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("corrupt sample")
+            return {"x": i}
+
+    bad = DataLoader(Exploding(), 4, lambda s: [x["x"] for x in s],
+                     shuffle=False, num_workers=2, worker_mode="process")
+    with pytest.raises(ValueError, match="corrupt sample"):
+        list(bad)
