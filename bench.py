@@ -74,9 +74,15 @@ def main():
     state, m = step(state, batch, rng)
     float(m["loss"])
 
+    # pre-materialise per-step rngs: an EAGER fold_in inside the timed loop
+    # is its own relay dispatch and serializes the async step queue
+    # (perf/sam_engine_bisect.py measured 8x inflation on SAM-B)
+    rngs = [jax.random.fold_in(rng, i) for i in range(STEPS)]
+    jax.block_until_ready(rngs)
+
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, m = step(state, batch, jax.random.fold_in(rng, i))
+        state, m = step(state, batch, rngs[i])
     final_loss = float(m["loss"])  # forces the whole dependent chain
     dt = time.perf_counter() - t0
 

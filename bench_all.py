@@ -53,7 +53,9 @@ def _build_step(model, criterion, make_loss_fn, batch, init_args,
     from simpleaicv_tpu.core.schedule import SchedulerConfig
 
     rng = jax.random.PRNGKey(0)
-    variables = model.init({"params": rng}, *init_args)
+    # jitted init: eager init dispatches op-by-op through the ~26-32ms/call
+    # relay and reads as a compile hang (ROADMAP round-2)
+    variables = jax.jit(lambda r: model.init({"params": r}, *init_args))(rng)
     params = variables["params"]
     state_vars = {k: v for k, v in variables.items() if k != "params"}
     opt_cfg = OptimizerConfig(name="SGD", lr=0.01, momentum=0.9,
@@ -76,9 +78,14 @@ def _run_timed(step, state, batch, rng, steps):
         flops = lowered.compile().cost_analysis().get("flops")
     except Exception:
         pass
+    # pre-materialise per-step rngs: an EAGER fold_in inside the timed loop
+    # dispatches through the ~26-32ms relay and serializes the async queue
+    # (measured 1751ms/step vs 219ms real on SAM-B, perf/sam_engine_bisect)
+    rngs = [jax.random.fold_in(rng, i) for i in range(steps)]
+    jax.block_until_ready(rngs)
     t0 = time.perf_counter()
     for i in range(steps):
-        state, m = step(state, batch, jax.random.fold_in(rng, i))
+        state, m = step(state, batch, rngs[i])
     float(m["loss"])
     dt = time.perf_counter() - t0
     return dt / steps, flops
@@ -259,10 +266,12 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
     state, m = step(state, const_batch, rng)
     float(m["loss"])
 
-    # compute-only reference
+    # compute-only reference (rngs pre-materialised — see _run_timed)
+    rngs = [jax.random.fold_in(rng, i) for i in range(steps)]
+    jax.block_until_ready(rngs)
     t0 = time.perf_counter()
     for i in range(steps):
-        state, m = step(state, const_batch, jax.random.fold_in(rng, i))
+        state, m = step(state, const_batch, rngs[i])
     float(m["loss"])
     t_compute = (time.perf_counter() - t0) / steps
 
@@ -287,7 +296,7 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
         for b in it:
             dev = {"image": jnp.asarray(b["image"]).astype(jnp.bfloat16),
                    "label": jnp.asarray(b["label"]).astype(jnp.int32)}
-            state, m = step(state, dev, jax.random.fold_in(rng, done))
+            state, m = step(state, dev, rngs[done])
             done += 1
             if done >= steps:
                 break
@@ -306,6 +315,10 @@ ALL = {
     "vit_b16_224_train": bench_vit_b16,
     "fcos_r50_800_train": bench_fcos_800,
     "sam_b_1024_train_step": bench_sam_b_1024,
+    # VERDICT r2 #3: settle Pallas flash attention on chip vs the XLA
+    # einsum path (expected loser per perf/pallas_bw_probe.py ~300GB/s cap)
+    "sam_b_1024_train_step_flash":
+        lambda: bench_sam_b_1024(use_flash=True),
     "batched_nms_1000x80_device_time": bench_nms_p50,
     "input_pipeline_stall": bench_input_pipeline,
 }

@@ -25,12 +25,36 @@ B, H, W, C_IN, C_OUT = 128, 56, 56, 64, 256
 def make_conv(dn, precision, out_dtype):
     lhs_spec, rhs_spec, out_spec = dn
 
-    def conv(x, w):
+    def raw(x, w):
         return jax.lax.conv_general_dilated(
             x, w, (1, 1), "SAME",
             dimension_numbers=(lhs_spec, rhs_spec, out_spec),
             precision=precision,
             preferred_element_type=out_dtype)
+
+    if out_dtype == jnp.bfloat16:
+        return raw
+
+    # f32 accumulator output: cotangent arrives f32; cast it to bf16 for
+    # the transpose convs (production mixed-precision semantics) so the
+    # bwd doesn't hit lax's same-dtype requirement
+    @jax.custom_vjp
+    def conv(x, w):
+        return raw(x, w)
+
+    def fwd(x, w):
+        return raw(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        gb = g.astype(jnp.bfloat16)
+        _, vjp = jax.vjp(lambda xx, ww: jax.lax.conv_general_dilated(
+            xx, ww, (1, 1), "SAME",
+            dimension_numbers=(lhs_spec, rhs_spec, out_spec),
+            precision=precision), x, w)
+        return vjp(gb)
+
+    conv.defvjp(fwd, bwd)
     return conv
 
 
@@ -44,6 +68,7 @@ def with_bn_stats(conv, out_spec):
         mean = jnp.mean(yf, red)
         var = jnp.mean(yf * yf, red) - mean * mean
         return y, mean, var
+    f.c_axis = c_axis
     return f
 
 
@@ -56,9 +81,11 @@ def slope(fn, args, lo=6, hi=18):
             for i in range(_r):
                 y, m, v = fn(x, w)
                 acc = acc + jnp.sum(m) + jnp.sum(v)
-                # data dependency without changing x's layout/shape
-                x = x + y[..., :1].astype(x.dtype) * 1e-6 \
-                    if y.shape[-1] != x.shape[-1] else x + y * 1e-6
+                # data dependency without changing x's layout/shape:
+                # reduce y's channel axis to 1 and broadcast-add
+                dep = jnp.mean(y.astype(jnp.float32), axis=fn.c_axis,
+                               keepdims=True)
+                x = x + dep.astype(x.dtype) * 1e-6
             return acc + jnp.sum(x.astype(jnp.float32)) * 0
         float(chain(*args))
         t0 = time.perf_counter()

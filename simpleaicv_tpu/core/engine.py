@@ -98,6 +98,12 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
         return grads, metrics, new_vars
 
     def step_fn(state: TrainState, batch, rng):
+        # fold the step counter in INSIDE jit: callers pass one constant
+        # base rng for the whole run, so the hot loop issues zero eager
+        # RNG dispatches (an eager per-step split/fold_in is its own
+        # ~26-32ms relay call and serializes the async step queue —
+        # perf/sam_engine_bisect.py measured 8x step inflation on SAM-B)
+        rng = jax.random.fold_in(rng, state.step)
         if accum == 1:
             grads, metrics, new_vars = grads_and_metrics(
                 state.params, state_vars=state.state_vars, batch=batch, rng=rng)

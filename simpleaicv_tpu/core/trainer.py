@@ -274,8 +274,10 @@ class Trainer:
         n_images = 0
         for i, gbatch in enumerate(self._device_prefetch(self.train_loader),
                                    start=1):
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.state, metrics = self.train_step(self.state, gbatch, step_rng)
+            # one constant base rng: the jitted step folds state.step in
+            # on-device, so no eager per-step RNG dispatch (engine.py)
+            self.state, metrics = self.train_step(self.state, gbatch,
+                                                  self.rng)
             n_images += self.config.batch_size
             if i % self.print_interval == 0 or i == self.steps_per_epoch:
                 loss = float(metrics["loss"])

@@ -40,10 +40,12 @@ class MultiHeadAttention(nn.Module):
 
         if (self.use_flash_attention and self.dropout_prob == 0.0
                 and n % 128 == 0):
-            from ...ops.flash_attention import flash_attention
-            out = flash_attention(q.transpose(0, 2, 1, 3),
-                                  k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3))
+            # plain-XLA online softmax (Pallas doesn't lower on the
+            # production TPU stack — ops/flash_attention.py)
+            from ...ops.flash_attention import flash_attention_xla
+            out = flash_attention_xla(q.transpose(0, 2, 1, 3),
+                                      k.transpose(0, 2, 1, 3),
+                                      v.transpose(0, 2, 1, 3))
             out = out.transpose(0, 2, 1, 3)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,

@@ -17,25 +17,14 @@ def _conv(planes, k, stride=1, name=None):
 
 
 def _upsample_to(x, h, w):
-    """Bilinear, align_corners=True (matches reference F.interpolate)."""
-    b, sh, sw, c = x.shape
-    # align_corners=True resize: use jax.image with 'linear' on a grid that
-    # maps corners to corners.
-    if sh == h and sw == w:
+    """Bilinear NHWC resize, align_corners=True (matches reference
+    F.interpolate). Matmul formulation (ops/upsample.py): the previous
+    gather-based version had a scatter-add VJP, serialized on TPU."""
+    from ...ops.upsample import resize_bilinear
+    if x.shape[1] == h and x.shape[2] == w:
         return x
-    ys = jnp.linspace(0.0, sh - 1.0, h)
-    xs = jnp.linspace(0.0, sw - 1.0, w)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.clip(y0 + 1, 0, sh - 1)
-    x1 = jnp.clip(x0 + 1, 0, sw - 1)
-    wy = (ys - y0).astype(x.dtype)
-    wx = (xs - x0).astype(x.dtype)
-    top = x[:, y0][:, :, x0] * (1 - wx[None, None, :, None]) + \
-        x[:, y0][:, :, x1] * wx[None, None, :, None]
-    bot = x[:, y1][:, :, x0] * (1 - wx[None, None, :, None]) + \
-        x[:, y1][:, :, x1] * wx[None, None, :, None]
-    return top * (1 - wy[None, :, None, None]) + bot * wy[None, :, None, None]
+    return resize_bilinear(x, (h, w), spatial_axes=(1, 2),
+                           align_corners=True)
 
 
 class RetinaFPN(nn.Module):

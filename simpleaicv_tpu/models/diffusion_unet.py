@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.registry import MODELS
+from ..ops.upsample import upsample_nearest_2x
 
 __all__ = ["DiffusionUNet"]
 
@@ -175,7 +176,7 @@ class DiffusionUNet(nn.Module):
             cur = per
             if idx != 0:
                 b, h, w, c = x.shape
-                x = jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+                x = upsample_nearest_2x(x, spatial_axes=(1, 2))
                 x = _conv(cur, 3, name=f"up_{bidx}_conv")(x)
                 bidx += 1
 

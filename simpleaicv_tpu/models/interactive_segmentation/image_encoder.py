@@ -99,9 +99,11 @@ class RelPosAttention(nn.Module):
 
         n = h * w
         if self.use_flash_attention and n % 128 == 0:
-            # decomposed bias tables, never the [N,N] matrix: the Pallas
-            # kernel walks the key grid row by row (ops/flash_attention.py)
-            from ...ops.flash_attention import flash_attention_relpos
+            # decomposed bias tables, never a persistent [N,N] matrix:
+            # blockwise online softmax in plain XLA (the Pallas kernel
+            # doesn't lower on the production TPU stack — see
+            # ops/flash_attention.py "XLA online-softmax" section)
+            from ...ops.flash_attention import flash_attention_relpos_xla
             rh = get_rel_pos(h, h, rel_pos_h)
             rw = get_rel_pos(w, w, rel_pos_w)
             r_q = q.astype(jnp.float32).reshape(-1, h, w, head_dim)
@@ -109,7 +111,7 @@ class RelPosAttention(nn.Module):
                                preferred_element_type=jnp.float32)
             rel_w = jnp.einsum("bhwc,wkc->bhwk", r_q, rw,
                                preferred_element_type=jnp.float32)
-            out = flash_attention_relpos(
+            out = flash_attention_relpos_xla(
                 q, k, v, rel_h.reshape(-1, n, h), rel_w.reshape(-1, n, w))
         else:
             attn = jnp.einsum("bnd,bmd->bnm", q * (head_dim**-0.5), k,

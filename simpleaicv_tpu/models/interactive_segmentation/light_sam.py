@@ -15,6 +15,7 @@ from ..common import cdtype
 
 from ...core.registry import BACKBONES, MODELS
 from ..detection.fpn import _upsample_to
+from ...ops.upsample import resize_bilinear
 from .image_encoder import LayerNormChannelsLast
 from .mask_decoder import MaskDecoder
 from .prompt_encoder import PromptEncoder
@@ -95,8 +96,9 @@ class LightSAM(nn.Module):
             image_embeddings, self.prompt_encoder.get_dense_pe(), sparse,
             dense, mask_out_idxs=mask_out_idxs)
         b, k, h, w = masks.shape
-        masks = jax.image.resize(masks, (b, k, self.image_size,
-                                         self.image_size), "bilinear")
+        masks = resize_bilinear(masks, (self.image_size,
+                                        self.image_size),
+                                spatial_axes=(2, 3))
         if self.sigmoid_out:
             masks = jax.nn.sigmoid(masks)
         if self.binary_mask_out:

@@ -33,6 +33,7 @@ from ..common import cdtype
 from ...core.registry import MODELS
 from .sam import SAM
 from .light_sam import LightSAM
+from ...ops.upsample import resize_bilinear
 
 __all__ = ["SAMMatting", "FusionHead",
            "sam_b_matting1", "sam_l_matting1", "convformer_m36_sam_matting1",
@@ -47,7 +48,7 @@ def _conv(x, planes, name, kernel=3):
 
 def _up2x(x):
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "bilinear")
+    return resize_bilinear(x, (2 * h, 2 * w), spatial_axes=(1, 2))
 
 
 class FusionHead(nn.Module):
@@ -61,7 +62,7 @@ class FusionHead(nn.Module):
         h, w = feat1.shape[1], feat1.shape[2]
 
         f3g = _conv(feat3, p, "global_feat3_reduce")
-        f3g = jax.image.resize(f3g, (f3g.shape[0], h, w, p), "bilinear")
+        f3g = resize_bilinear(f3g, (h, w), spatial_axes=(1, 2))
         f1g = nn.relu(_conv(feat1, p, "global_feat1_reduce"))
         g = jnp.concatenate([f1g, f3g, masks.astype(cdtype())], axis=-1)
         g = nn.relu(_conv(g, 2 * p, "global_combine"))
@@ -73,7 +74,7 @@ class FusionHead(nn.Module):
             _conv(g, 3, "global_pred").astype(jnp.float32))
 
         f3l = _conv(feat3, p, "local_feat3_reduce")
-        f3l = jax.image.resize(f3l, (f3l.shape[0], h, w, p), "bilinear")
+        f3l = resize_bilinear(f3l, (h, w), spatial_axes=(1, 2))
         f1l = nn.relu(_conv(feat1, p, "local_feat1_reduce"))
         l = jnp.concatenate([f1l, f3l, f1g, f3g,
                              masks.astype(cdtype())], axis=-1)

@@ -12,6 +12,7 @@ from .common import cdtype
 
 from ..core.registry import BACKBONES, MODELS
 from .backbones.vit import TransformerEncoderLayer
+from ..ops.upsample import resize_bilinear
 
 __all__ = ["SapiensParsing"]
 
@@ -63,7 +64,7 @@ class SapiensParsing(nn.Module):
         y = nn.relu(nn.GroupNorm(num_groups=32, name="gn2")(y))
         y = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                     name="pred_conv")(y)
-        return jax.image.resize(y, (b, h, w, self.num_classes), "bilinear")
+        return resize_bilinear(y, (h, w), spatial_axes=(1, 2))
 
 
 for _name, _bb in [("sapiens_0_3b_face_parsing", "sapiens_0_3b"),

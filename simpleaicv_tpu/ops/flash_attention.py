@@ -462,3 +462,177 @@ def flash_attention_relpos(q, k, v, rel_h, rel_w,
     assert rel_h.shape[-1] * rel_w.shape[-1] == n, (rel_h.shape,
                                                     rel_w.shape, n)
     return _flash_relpos_core(q, k, v, rel_h, rel_w, block_q, interpret)
+
+
+# ---------------- XLA online-softmax implementations ----------------
+#
+# The Pallas kernels above do not lower on the production TPU stack: the
+# relpos variant hits the "last two block dims divisible by (8, 128)"
+# lowering restriction (head_dim 64), and where Pallas does lower, this
+# relay stack caps it at ~300GB/s vs >1TB/s for XLA fusions
+# (perf/pallas_bw_probe.py, ROADMAP round-2). The production flash path is
+# therefore blockwise online softmax written in plain XLA under lax.scan —
+# O(N) residual memory (only o and the row-logsumexp are saved) — with a
+# FlashAttention-2 backward that recomputes probabilities in one einsum
+# (transient [BH,N,N], matmuls only). Measured at the SAM-B global-layer
+# shape (bh12 n4096 d64, perf/attn_probe.py): fwd 3.07ms vs 8.27ms for the
+# materialize-everything einsum path.
+
+
+def _xla_fwd_pass(q, k, v, bias_blocks, block_k):
+    """Shared scan: bias_blocks is None or [n_blocks, BH, N, block_k]."""
+    bh, n, d = q.shape
+    scale = d**-0.5
+    qf = q.astype(jnp.float32) * scale
+    nb = n // block_k
+    kb = k.reshape(bh, nb, block_k, d).transpose(1, 0, 2, 3)
+    vb = v.reshape(bh, nb, block_k, d).transpose(1, 0, 2, 3)
+
+    def body(carry, inp):
+        acc, m_prev, l_prev = carry
+        if bias_blocks is None:
+            kblk, vblk = inp
+            s = jnp.einsum("bnd,bmd->bnm", qf, kblk.astype(jnp.float32))
+        else:
+            kblk, vblk, bias = inp
+            s = jnp.einsum("bnd,bmd->bnm", qf, kblk.astype(jnp.float32))
+            s = s + bias
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bnm,bmd->bnd", p.astype(v.dtype), vblk,
+            preferred_element_type=jnp.float32)
+        return (acc, m_new, l_new), None
+
+    init = (jnp.zeros((bh, n, d), jnp.float32),
+            jnp.full((bh, n, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((bh, n, 1), jnp.float32))
+    xs = (kb, vb) if bias_blocks is None else (kb, vb, bias_blocks)
+    (acc, m, l), _ = jax.lax.scan(body, init, xs)
+    o = (acc / l).astype(q.dtype)
+    lse = (m + jnp.log(l))[..., 0]                    # [BH, N]
+    return o, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _xla_flash_core(q, k, v, block_k):
+    o, _ = _xla_fwd_pass(q, k, v, None, block_k)
+    return o
+
+
+def _xla_flash_fwd(q, k, v, block_k):
+    o, lse = _xla_fwd_pass(q, k, v, None, block_k)
+    return o, (q, k, v, o, lse)
+
+
+def _xla_flash_bwd(block_k, res, do):
+    q, k, v, o, lse = res
+    d = q.shape[-1]
+    scale = d**-0.5
+    dof = do.astype(jnp.float32)
+    s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    p = jnp.exp(s - lse[..., None])                   # [BH, N, N] transient
+    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1, keepdims=True)
+    dv = jnp.einsum("bnm,bnd->bmd", p.astype(do.dtype), do,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    dp = jnp.einsum("bnd,bmd->bnm", dof, v.astype(jnp.float32))
+    ds = p * (dp - delta)
+    dsb = ds.astype(q.dtype)
+    dq = (jnp.einsum("bnm,bmd->bnd", dsb, k,
+                     preferred_element_type=jnp.float32)
+          * scale).astype(q.dtype)
+    dk = (jnp.einsum("bnm,bnd->bmd", dsb, q,
+                     preferred_element_type=jnp.float32)
+          * scale).astype(k.dtype)
+    return dq, dk, dv
+
+
+_xla_flash_core.defvjp(_xla_flash_fwd, _xla_flash_bwd)
+
+
+def _relpos_block_k(k_h: int, k_w: int) -> int:
+    """Largest row-aligned key block <= ~512 entries (block walks the key
+    grid row by row so the decomposed bias slices cleanly)."""
+    rows = 1
+    while k_h % (rows * 2) == 0 and (rows * 2) * k_w <= 512:
+        rows *= 2
+    return rows * k_w
+
+
+def _relpos_bias_blocks(rel_h, rel_w, k_h, block_k):
+    """[n_blocks, BH, N, block_k] f32 bias, sliced row-aligned."""
+    bh, n, _ = rel_h.shape
+    rows = block_k // rel_w.shape[-1]
+    nb = k_h // rows
+    rh = rel_h.reshape(bh, n, nb, rows).transpose(2, 0, 1, 3)
+    bias = rh[..., None] + rel_w[None, :, :, None, :]
+    return bias.reshape(nb, bh, n, block_k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _xla_relpos_core(q, k, v, rel_h, rel_w, k_h, block_k):
+    bias = _relpos_bias_blocks(rel_h, rel_w, k_h, block_k)
+    o, _ = _xla_fwd_pass(q, k, v, bias, block_k)
+    return o
+
+
+def _xla_relpos_fwd(q, k, v, rel_h, rel_w, k_h, block_k):
+    bias = _relpos_bias_blocks(rel_h, rel_w, k_h, block_k)
+    o, lse = _xla_fwd_pass(q, k, v, bias, block_k)
+    return o, (q, k, v, rel_h, rel_w, o, lse)
+
+
+def _xla_relpos_bwd(k_h, block_k, res, do):
+    q, k, v, rel_h, rel_w, o, lse = res
+    bh, n, d = q.shape
+    k_w = rel_w.shape[-1]
+    scale = d**-0.5
+    dof = do.astype(jnp.float32)
+    s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    s = s.reshape(bh, n, k_h, k_w) + rel_h[..., :, None] \
+        + rel_w[..., None, :]
+    p = jnp.exp(s.reshape(bh, n, n) - lse[..., None])
+    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1, keepdims=True)
+    dv = jnp.einsum("bnm,bnd->bmd", p.astype(do.dtype), do,
+                    preferred_element_type=jnp.float32).astype(v.dtype)
+    dp = jnp.einsum("bnd,bmd->bnm", dof, v.astype(jnp.float32))
+    ds = p * (dp - delta)                              # [BH, N, N] f32
+    ds4 = ds.reshape(bh, n, k_h, k_w)
+    drh = jnp.sum(ds4, axis=-1).astype(rel_h.dtype)
+    drw = jnp.sum(ds4, axis=-2).astype(rel_w.dtype)
+    dsb = ds.astype(q.dtype)
+    dq = (jnp.einsum("bnm,bmd->bnd", dsb, k,
+                     preferred_element_type=jnp.float32)
+          * scale).astype(q.dtype)
+    dk = (jnp.einsum("bnm,bnd->bmd", dsb, q,
+                     preferred_element_type=jnp.float32)
+          * scale).astype(k.dtype)
+    return dq, dk, dv, drh, drw
+
+
+_xla_relpos_core.defvjp(_xla_relpos_fwd, _xla_relpos_bwd)
+
+
+def flash_attention_xla(q, k, v, block_k: int = 512):
+    """Blockwise online-softmax attention in plain XLA, [B, H, N, d]."""
+    b, h, n, d = q.shape
+    block_k = min(block_k, n)
+    assert n % block_k == 0, (n, block_k)
+    out = _xla_flash_core(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+                          v.reshape(b * h, n, d), block_k)
+    return out.reshape(b, h, n, d)
+
+
+def flash_attention_relpos_xla(q, k, v, rel_h, rel_w):
+    """Blockwise online-softmax attention with SAM's decomposed rel-pos
+    bias, in plain XLA. Same contract as flash_attention_relpos."""
+    bh, n, d = q.shape
+    k_h, k_w = rel_h.shape[-1], rel_w.shape[-1]
+    assert k_h * k_w == n, (rel_h.shape, rel_w.shape, n)
+    return _xla_relpos_core(q, k, v, rel_h, rel_w, k_h,
+                            _relpos_block_k(k_h, k_w))

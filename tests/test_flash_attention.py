@@ -138,3 +138,55 @@ def test_sam_encoder_flash_equivalence():
     # einsum path casts probs to bf16 before PV; flash keeps f32 accumulators
     np.testing.assert_allclose(a, b, atol=5e-2, rtol=5e-2)
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.9999
+
+
+def test_xla_flash_matches_reference_fwd_and_grad():
+    """The production (plain-XLA online-softmax) flash path: exact vs the
+    reference einsum attention, forward and gradients."""
+    from simpleaicv_tpu.ops.flash_attention import (flash_attention_xla,
+                                                    reference_attention)
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 3, 64, 16) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.randn(2, 3, 64, 16) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.randn(2, 3, 64, 16) * 0.1, jnp.float32)
+    want = reference_attention(q, k, v)
+    got = flash_attention_xla(q, k, v, block_k=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def grads(fn):
+        return jax.grad(lambda *a: jnp.sum(fn(*a) ** 2),
+                        argnums=(0, 1, 2))(q, k, v)
+
+    for a, b in zip(grads(reference_attention),
+                    grads(lambda q, k, v: flash_attention_xla(
+                        q, k, v, block_k=16))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_xla_relpos_flash_matches_reference_fwd_and_grad():
+    from simpleaicv_tpu.ops.flash_attention import flash_attention_relpos_xla
+    rng = np.random.RandomState(1)
+    BH, KH, KW, D = 3, 8, 8, 16
+    N = KH * KW
+    q = jnp.asarray(rng.randn(BH, N, D) * 0.1, jnp.float32)
+    k = jnp.asarray(rng.randn(BH, N, D) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.randn(BH, N, D) * 0.1, jnp.float32)
+    rh = jnp.asarray(rng.randn(BH, N, KH) * 0.05, jnp.float32)
+    rw = jnp.asarray(rng.randn(BH, N, KW) * 0.05, jnp.float32)
+
+    def ref(q, k, v, rh, rw):
+        s = jnp.einsum("bnd,bmd->bnm", q * (D ** -0.5), k)
+        s = s.reshape(BH, N, KH, KW) + rh[..., :, None] + rw[..., None, :]
+        p = jax.nn.softmax(s.reshape(BH, N, N), -1)
+        return jnp.einsum("bnm,bmd->bnd", p, v)
+
+    want = ref(q, k, v, rh, rw)
+    got = flash_attention_relpos_xla(q, k, v, rh, rw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def grads(fn):
+        return jax.grad(lambda *a: jnp.sum(fn(*a) ** 2),
+                        argnums=(0, 1, 2, 3, 4))(q, k, v, rh, rw)
+
+    for a, b in zip(grads(ref), grads(flash_attention_relpos_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

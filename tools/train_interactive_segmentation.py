@@ -40,6 +40,13 @@ class SAMTrainer(Trainer):
         self._predict = sam_task.make_predict_best_mask_fn(self.model)
 
         @jax.jit
+        def _sample_points(masks, gt, pts, rng, step):
+            return sam_task.sample_error_region_points(
+                masks, gt, pts, rng=jax.random.fold_in(rng, step))
+
+        self._sample_points = _sample_points
+
+        @jax.jit
         def _iou_stats(pred, mask):
             """Summed best-mask IoU + count, reduced ON DEVICE so eval works
             with mesh-sharded global batches in multi-process runs (a host
@@ -117,21 +124,21 @@ class SAMTrainer(Trainer):
             refine = ("prompt_point" in keep)
             iters = self.decoder_point_iters if refine else 1
             for it in range(iters):
-                self.rng, step_rng = jax.random.split(self.rng)
+                # constant base rng: the jitted step folds state.step in
+                # on-device (engine.py) — no eager per-iter RNG dispatch
                 self.state, metrics = self.train_step(self.state, gbatch,
-                                                      step_rng)
+                                                      self.rng)
                 if it + 1 < iters:
-                    # resample a click at the arg-max error pixel (jit,
-                    # fixed-shape slot insertion)
+                    # resample a click at a random error pixel (jit,
+                    # fixed-shape slot insertion; rng folded on-device
+                    # from the base rng + step counter)
                     masks = self._predict(self.state.params,
                                           self.state.state_vars,
                                           gbatch["image"],
                                           gbatch["prompt_point"])
-                    self.rng, pt_rng = jax.random.split(self.rng)
-                    gbatch["prompt_point"] = \
-                        sam_task.sample_error_region_points(
-                            masks, gbatch["mask"], gbatch["prompt_point"],
-                            rng=pt_rng)
+                    gbatch["prompt_point"] = self._sample_points(
+                        masks, gbatch["mask"], gbatch["prompt_point"],
+                        self.rng, self.state.step)
             if i % self.print_interval == 0:
                 loss_meter.update(float(metrics["loss"]))
                 self.log(f"epoch {epoch} iter {i}/{self.steps_per_epoch} "
