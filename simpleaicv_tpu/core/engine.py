@@ -80,13 +80,19 @@ def create_train_state(params, state_vars, tx: optax.GradientTransformation,
 
 
 def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
-                    cfg: EngineConfig, mesh=None, donate: bool = True):
+                    cfg: EngineConfig, mesh=None, donate: bool = True,
+                    augment_fn=None):
     """Build the jitted SPMD train step.
 
     The returned fn has signature ``(state, batch, rng) -> (state, metrics)``.
     ``batch`` leaves have a leading global-batch dim; with ``accumulation_steps
     > 1`` the global batch is split into micro-batches scanned sequentially
     (grads averaged across micro-batches, one optimizer update).
+
+    ``augment_fn(batch, rng) -> batch`` runs device-side data augmentation
+    (data/device_augment.py) on the sharded global batch inside the jitted
+    step, before the micro-batch split — the TPU-first replacement for the
+    reference's host DataLoader-worker PIL augmentation.
     """
     accum = max(cfg.accumulation_steps, 1)
 
@@ -104,6 +110,8 @@ def make_train_step(loss_fn: LossFn, tx: optax.GradientTransformation,
         # ~26-32ms relay call and serializes the async step queue —
         # perf/sam_engine_bisect.py measured 8x step inflation on SAM-B)
         rng = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None:
+            batch = augment_fn(batch, jax.random.fold_in(rng, 0x5EED))
         if accum == 1:
             grads, metrics, new_vars = grads_and_metrics(
                 state.params, state_vars=state.state_vars, batch=batch, rng=rng)

@@ -179,7 +179,14 @@ class Trainer:
                                         self.engine_cfg)
 
         loss_fn = make_loss_fn(self.model, config.train_criterion)
-        self.train_step = make_train_step(loss_fn, self.tx, self.engine_cfg)
+        # On-device batched augmentation (data/device_augment.py): runs
+        # inside the jitted step on the sharded global batch — replaces the
+        # reference's host DataLoader-worker PIL augmentation, which needs
+        # dozens of host cores to keep a chip fed (zero host-aug stalls by
+        # construction).
+        self.train_step = make_train_step(
+            loss_fn, self.tx, self.engine_cfg,
+            augment_fn=getattr(config, "device_augment", None))
         self.eval_step = None
         self.evaluate = evaluate
         if make_eval_fn is not None:
