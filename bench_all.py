@@ -395,6 +395,18 @@ def run_portfolio(names=None):
 
 
 if __name__ == "__main__":
+    import os
     import sys
-    names = sys.argv[1:] or None
-    print(json.dumps(run_portfolio(names), indent=1))
+    args = sys.argv[1:]
+    save = "--save" in args
+    names = [a for a in args if not a.startswith("--")] or None
+    out = run_portfolio(names)
+    print(json.dumps(out, indent=1))
+    if save:
+        out["measured_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_PORTFOLIO.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"saved -> {path}")

@@ -38,8 +38,7 @@ class MultiHeadAttention(nn.Module):
         qkv = qkv.reshape(b, n, 3, self.head_nums, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        if (self.use_flash_attention and self.dropout_prob == 0.0
-                and n % 128 == 0):
+        if self.use_flash_attention and self.dropout_prob == 0.0:
             # plain-XLA online softmax (Pallas doesn't lower on the
             # production TPU stack — ops/flash_attention.py)
             from ...ops.flash_attention import flash_attention_xla

@@ -479,24 +479,34 @@ def flash_attention_relpos(q, k, v, rel_h, rel_w,
 # materialize-everything einsum path.
 
 
-def _xla_fwd_pass(q, k, v, bias_blocks, block_k):
-    """Shared scan: bias_blocks is None or [n_blocks, BH, N, block_k]."""
-    bh, n, d = q.shape
+def _xla_fwd_pass(q, k, v, bias_blocks, block_k, kv_len=None):
+    """Shared scan: bias_blocks is None or [n_blocks, BH, N, block_k].
+
+    ``kv_len`` (static) masks key positions >= kv_len to -inf — used by the
+    auto-padding wrapper so sequence lengths that don't divide the block
+    (ViT's 197 = 14x14+cls) still take the flash path."""
+    bh, n_kv = q.shape[0], k.shape[1]
+    d = q.shape[-1]
     scale = d**-0.5
     qf = q.astype(jnp.float32) * scale
-    nb = n // block_k
+    nb = n_kv // block_k
     kb = k.reshape(bh, nb, block_k, d).transpose(1, 0, 2, 3)
     vb = v.reshape(bh, nb, block_k, d).transpose(1, 0, 2, 3)
+    starts = jnp.arange(nb, dtype=jnp.int32) * block_k
+    lane = jnp.arange(block_k, dtype=jnp.int32)
 
     def body(carry, inp):
         acc, m_prev, l_prev = carry
         if bias_blocks is None:
-            kblk, vblk = inp
+            kblk, vblk, start = inp
             s = jnp.einsum("bnd,bmd->bnm", qf, kblk.astype(jnp.float32))
         else:
-            kblk, vblk, bias = inp
+            kblk, vblk, bias, start = inp
             s = jnp.einsum("bnd,bmd->bnm", qf, kblk.astype(jnp.float32))
             s = s + bias
+        if kv_len is not None:
+            s = jnp.where((start + lane < kv_len)[None, None, :], s,
+                          -jnp.inf)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -507,34 +517,39 @@ def _xla_fwd_pass(q, k, v, bias_blocks, block_k):
             preferred_element_type=jnp.float32)
         return (acc, m_new, l_new), None
 
-    init = (jnp.zeros((bh, n, d), jnp.float32),
-            jnp.full((bh, n, 1), -jnp.inf, jnp.float32),
-            jnp.zeros((bh, n, 1), jnp.float32))
-    xs = (kb, vb) if bias_blocks is None else (kb, vb, bias_blocks)
+    n_q = q.shape[1]
+    init = (jnp.zeros((bh, n_q, d), jnp.float32),
+            jnp.full((bh, n_q, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((bh, n_q, 1), jnp.float32))
+    xs = ((kb, vb, starts) if bias_blocks is None
+          else (kb, vb, bias_blocks, starts))
     (acc, m, l), _ = jax.lax.scan(body, init, xs)
     o = (acc / l).astype(q.dtype)
     lse = (m + jnp.log(l))[..., 0]                    # [BH, N]
     return o, lse
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _xla_flash_core(q, k, v, block_k):
-    o, _ = _xla_fwd_pass(q, k, v, None, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _xla_flash_core(q, k, v, block_k, kv_len=None):
+    o, _ = _xla_fwd_pass(q, k, v, None, block_k, kv_len)
     return o
 
 
-def _xla_flash_fwd(q, k, v, block_k):
-    o, lse = _xla_fwd_pass(q, k, v, None, block_k)
+def _xla_flash_fwd(q, k, v, block_k, kv_len=None):
+    o, lse = _xla_fwd_pass(q, k, v, None, block_k, kv_len)
     return o, (q, k, v, o, lse)
 
 
-def _xla_flash_bwd(block_k, res, do):
+def _xla_flash_bwd(block_k, kv_len, res, do):
     q, k, v, o, lse = res
     d = q.shape[-1]
     scale = d**-0.5
     dof = do.astype(jnp.float32)
     s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32) * scale,
                    k.astype(jnp.float32))
+    if kv_len is not None:
+        s = jnp.where(
+            (jnp.arange(k.shape[1]) < kv_len)[None, None, :], s, -jnp.inf)
     p = jnp.exp(s - lse[..., None])                   # [BH, N, N] transient
     delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1, keepdims=True)
     dv = jnp.einsum("bnm,bnd->bmd", p.astype(do.dtype), do,
@@ -619,12 +634,25 @@ _xla_relpos_core.defvjp(_xla_relpos_fwd, _xla_relpos_bwd)
 
 
 def flash_attention_xla(q, k, v, block_k: int = 512):
-    """Blockwise online-softmax attention in plain XLA, [B, H, N, d]."""
+    """Blockwise online-softmax attention in plain XLA, [B, H, N, d].
+
+    Arbitrary sequence lengths: N that doesn't divide the key block (e.g.
+    ViT's 197 = 14x14 patches + cls) is zero-padded to the next block
+    multiple; padded KEY positions are masked to -inf inside the scan and
+    the FA-2 backward recompute, and padded QUERY rows are sliced off (their
+    cotangents are zero, so they contribute nothing to dk/dv)."""
     b, h, n, d = q.shape
-    block_k = min(block_k, n)
-    assert n % block_k == 0, (n, block_k)
-    out = _xla_flash_core(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
-                          v.reshape(b * h, n, d), block_k)
+    block_k = min(block_k, max(128, n))
+    pad = (-n) % block_k
+    qf = q.reshape(b * h, n, d)
+    kf = k.reshape(b * h, n, d)
+    vf = v.reshape(b * h, n, d)
+    if pad:
+        widths = ((0, 0), (0, pad), (0, 0))
+        out = _xla_flash_core(jnp.pad(qf, widths), jnp.pad(kf, widths),
+                              jnp.pad(vf, widths), block_k, n)[:, :n]
+    else:
+        out = _xla_flash_core(qf, kf, vf, block_k)
     return out.reshape(b, h, n, d)
 
 

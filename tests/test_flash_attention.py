@@ -190,3 +190,50 @@ def test_xla_relpos_flash_matches_reference_fwd_and_grad():
 
     for a, b in zip(grads(ref), grads(flash_attention_relpos_xla)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_xla_flash_padded_lengths_fwd_and_grad():
+    """Sequence lengths that don't divide the key block (ViT's 197) take the
+    auto-padding + key-mask path — exact vs einsum attention incl. grads."""
+    from simpleaicv_tpu.ops.flash_attention import (flash_attention_xla,
+                                                    reference_attention)
+    rng = np.random.RandomState(1)
+    for n, block in ((197, 64), (197, 512), (100, 32), (130, 128)):
+        q = jnp.asarray(rng.randn(2, 2, n, 16) * 0.1, jnp.float32)
+        k = jnp.asarray(rng.randn(2, 2, n, 16) * 0.1, jnp.float32)
+        v = jnp.asarray(rng.randn(2, 2, n, 16) * 0.1, jnp.float32)
+        want = reference_attention(q, k, v)
+        got = flash_attention_xla(q, k, v, block_k=block)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+        def grads(fn):
+            return jax.grad(lambda *a: jnp.sum(fn(*a) ** 2),
+                            argnums=(0, 1, 2))(q, k, v)
+
+        for a, b in zip(grads(reference_attention),
+                        grads(lambda q, k, v: flash_attention_xla(
+                            q, k, v, block_k=block))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=f"n={n} b={block}")
+
+
+def test_vit_flash_option_matches_einsum_path():
+    """ViT-B attention block with use_flash_attention on/off: same outputs
+    and grads at the real 197-token shape."""
+    from simpleaicv_tpu.models.backbones.vit import MultiHeadAttention
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 197, 64) * 0.1, jnp.float32)
+    m_ein = MultiHeadAttention(head_nums=4, use_flash_attention=False,
+                               dtype=jnp.float32)
+    m_fla = MultiHeadAttention(head_nums=4, use_flash_attention=True,
+                               dtype=jnp.float32)
+    variables = m_ein.init(jax.random.PRNGKey(0), x)
+    out_e = m_ein.apply(variables, x)
+    out_f = m_fla.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e),
+                               atol=2e-5)
+    ge = jax.grad(lambda p: jnp.sum(m_ein.apply(p, x) ** 2))(variables)
+    gf = jax.grad(lambda p: jnp.sum(m_fla.apply(p, x) ** 2))(variables)
+    for a, b in zip(jax.tree.leaves(ge), jax.tree.leaves(gf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
