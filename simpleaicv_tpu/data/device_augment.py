@@ -12,10 +12,18 @@ The op zoo factors into three batched primitives (instead of 16 scalar ops):
 
   * **one affine warp** — ShearX/Y, TranslateX/Y (abs+rel) and Rotate are all
     affine; per-image 6-coeff matrices are built arithmetically and applied
-    with a single nearest-neighbour gather.
-  * **one 256-entry LUT gather** — Invert, Solarize, SolarizeAdd, Posterize,
-    Equalize and AutoContrast are all per-channel uint8 LUTs; the per-image
-    LUT [B,3,256] is composed cheaply and applied with one gather.
+    with a single nearest-neighbour gather.  The gather moves 32-element
+    channel-padded slices: TPU XLA lowers tiny-slice gathers (3 floats) into
+    scalar loops, while >=32-element slices take the fast vector path (the
+    same regime ops/msda.py runs in).
+  * **closed-form point ops** — Invert, Solarize, SolarizeAdd, Posterize and
+    AutoContrast are analytic per-pixel maps (AutoContrast's scale/offset
+    are per-channel reductions), computed directly on the VPU; no table, no
+    gather.  Only **Equalize** needs a data-dependent 256-entry LUT: its
+    histogram is two 16-wide one-hot nibble tensors contracted on the MXU
+    (``hist[v] = sum_p onehot16(v>>4) x onehot16(v&15)``, an exact [16,P]@
+    [P,16] matmul), and the LUT is applied by the inverse nibble
+    contraction — augmentation never scatters and never gathers per-pixel.
   * **one blend** — Brightness/Color/Contrast/Sharpness are
     ``clip(floor(deg + f*(img-deg)))`` against four degenerate images
     (black / grayscale / mean-gray / smoothed).
@@ -196,8 +204,12 @@ def _affine_warp(img, mat):
     sy = (y0 + ys * dyr + xs * dyc) >> 16
     valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
     idx = (jnp.clip(sy, 0, h - 1) * w + jnp.clip(sx, 0, w - 1))
-    flat = img.reshape(bsz, h * w, c)
-    out = jnp.take_along_axis(flat, idx.reshape(bsz, h * w, 1), axis=1)
+    # channel-pad the gather slices to 32: TPU XLA scalar-loops 3-float
+    # slices but vectorizes >=32 (the ops/msda.py regime); the 10x padding
+    # traffic is far cheaper than a per-pixel loop
+    flat = jnp.pad(img.reshape(bsz, h * w, c), ((0, 0), (0, 0), (0, 32 - c)))
+    out = jnp.take_along_axis(flat, idx.reshape(bsz, h * w, 1),
+                              axis=1)[..., :c]
     out = out.reshape(bsz, h, w, c)
     return jnp.where(valid[..., None], out, _FILL)
 
@@ -222,15 +234,31 @@ def _geom_matrices(kind, arg, h, w):
     return jnp.where((kind == _G_ROT)[:, None], rot, lin)
 
 
+def _nibbles(img):
+    """One-hot high/low nibbles of the uint8 lattice, [B,3,P,16] bf16.
+
+    0/1 values and integer pixel values are exact in bf16; every use
+    accumulates in f32, so the nibble factorization is bit-exact."""
+    bsz, h, w, c = img.shape
+    v = jnp.moveaxis(img, -1, 1).reshape(bsz, c, h * w).astype(jnp.int32)
+    n16 = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((v >> 4)[..., None] == n16).astype(jnp.bfloat16)
+    oh_lo = ((v & 15)[..., None] == n16).astype(jnp.bfloat16)
+    return oh_hi, oh_lo
+
+
 def _histogram(img):
-    """Per image, per channel 256-bin histogram [B, 3, 256] (scatter-add)."""
+    """Per image, per channel 256-bin histogram [B, 3, 256].
+
+    TPU-native: scatter-add loop-lowers on TPU, so the histogram is the
+    nibble outer product ``hist[16a+m] = sum_p oh_hi[p,a] * oh_lo[p,m]`` —
+    one exact [16,P]@[P,16] matmul per (image, channel) on the MXU
+    (counts <= npix < 2^24, exact in f32)."""
     bsz = img.shape[0]
-    v = jnp.moveaxis(img, -1, 1).reshape(bsz * 3, -1).astype(jnp.int32)
-
-    def one(ch):
-        return jnp.zeros((256,), jnp.float32).at[ch].add(1.0)
-
-    return jax.vmap(one)(v).reshape(bsz, 3, 256)
+    oh_hi, oh_lo = _nibbles(img)
+    hist = jnp.einsum("bcpa,bcpm->bcam", oh_hi, oh_lo,
+                      preferred_element_type=jnp.float32)
+    return hist.reshape(bsz, 3, 256)
 
 
 def _equalize_lut(img):
@@ -251,49 +279,53 @@ def _equalize_lut(img):
     return jnp.where(degenerate[..., None], ident, lut)
 
 
-def _autocontrast_lut(img):
-    """PIL ImageOps.autocontrast(cutoff=0) LUT from per-channel min/max."""
-    lo = jnp.min(img, axis=(1, 2))                       # [B,3]
-    hi = jnp.max(img, axis=(1, 2))
-    scale = 255.0 / jnp.maximum(hi - lo, 1.0)
-    ramp = jnp.arange(256, dtype=jnp.float32)
-    # PIL: int(ix*scale + offset) — truncation; negative values clip to 0
-    lut = jnp.clip(jnp.floor(ramp[None, None] * scale[..., None]
-                             - (lo * scale)[..., None]), 0.0, 255.0)
-    return jnp.where((hi <= lo)[..., None],
-                     ramp[None, None] * jnp.ones_like(lut), lut)
+def _lut_nibble_apply(img, lut):
+    """Apply a data-dependent LUT [B,3,256] without a per-pixel gather:
+    ``lut[v] = sum_{a,m} oh_hi[v,a] * L[a,m] * oh_lo[v,m]`` with the LUT
+    reshaped [16,16].  Both contractions are MXU matmuls; LUT entries are
+    integers 0..255 (exact in bf16) and exactly one product survives, so
+    the result is bit-exact."""
+    bsz, h, w, c = img.shape
+    oh_hi, oh_lo = _nibbles(img)                         # [B,3,P,16]
+    ltab = lut.reshape(bsz, 3, 16, 16).astype(jnp.bfloat16)
+    rows = jnp.einsum("bcpa,bcam->bcpm", oh_hi, ltab,
+                      preferred_element_type=jnp.float32)
+    out = jnp.einsum("bcpm,bcpm->bcp", rows.astype(jnp.bfloat16), oh_lo,
+                     preferred_element_type=jnp.float32)
+    return jnp.moveaxis(out.reshape(bsz, 3, h, w), 1, -1)
 
 
-def _build_lut(img, kind, arg, want_eq, want_ac):
-    """Compose the per-image LUT [B,3,256] for the selected LUT op."""
-    ramp = jnp.arange(256, dtype=jnp.float32)[None, None]      # [1,1,256]
-    k = kind[:, None, None]
-    a = arg[:, None, None]
-    lut = jnp.broadcast_to(ramp, (img.shape[0], 3, 256))
-    lut = jnp.where(k == _L_INV, 255.0 - ramp, lut)
-    lut = jnp.where(k == _L_SOL, jnp.where(ramp < a, ramp, 255.0 - ramp), lut)
-    lut = jnp.where(k == _L_SOLADD,
-                    jnp.where(ramp < 128.0,
-                              jnp.clip(ramp + a, 0.0, 255.0), ramp), lut)
+def _apply_point_ops(img, kind, arg, want_eq, want_ac):
+    """The LUT-class ops, computed point-wise (no table, no gather) except
+    Equalize, whose data-dependent LUT goes through the nibble matmuls.
+
+    Identical math to composing the PIL uint8 LUT then indexing it: each
+    branch below is the closed form of the corresponding 256-entry table
+    the host path builds (auto_rand_augment.py)."""
+    k = kind[:, None, None, None]
+    a = arg[:, None, None, None]
+    out = img                                            # identity default
+    out = jnp.where(k == _L_INV, 255.0 - img, out)
+    out = jnp.where(k == _L_SOL, jnp.where(img < a, img, 255.0 - img), out)
+    out = jnp.where(k == _L_SOLADD,
+                    jnp.where(img < 128.0,
+                              jnp.clip(img + a, 0.0, 255.0), img), out)
     # posterize: keep top `bits`; bits==0 -> all black (TPU EfficientNet)
     shift = jnp.exp2(8.0 - jnp.clip(a, 0.0, 8.0))
-    post = jnp.floor(ramp / shift) * shift
-    lut = jnp.where(k == _L_POST, post, lut)
-    if want_eq:
-        lut = jnp.where(k == _L_EQ, _equalize_lut(img), lut)
+    out = jnp.where(k == _L_POST, jnp.floor(img / shift) * shift, out)
     if want_ac:
-        lut = jnp.where(k == _L_AC, _autocontrast_lut(img), lut)
-    return lut
-
-
-def _apply_lut(img, lut):
-    bsz, h, w, c = img.shape
-    idx = img.astype(jnp.int32)                          # [B,H,W,3]
-    # gather lut[b, c, idx[b,h,w,c]]
-    lut_t = jnp.moveaxis(lut, 1, -1).reshape(bsz, 256 * c)   # [B, 256*3]
-    flat = (idx * c + jnp.arange(c, dtype=jnp.int32)).reshape(bsz, -1)
-    out = jnp.take_along_axis(lut_t, flat, axis=1)
-    return out.reshape(bsz, h, w, c)
+        # PIL ImageOps.autocontrast(cutoff=0): lut[i] = clip(trunc(i*scale
+        # - lo*scale)); identity when the channel is constant (hi <= lo)
+        lo = jnp.min(img, axis=(1, 2), keepdims=True)    # [B,1,1,3]
+        hi = jnp.max(img, axis=(1, 2), keepdims=True)
+        scale = 255.0 / jnp.maximum(hi - lo, 1.0)
+        ac = jnp.clip(jnp.floor(img * scale - lo * scale), 0.0, 255.0)
+        ac = jnp.where(hi <= lo, img, ac)
+        out = jnp.where(k == _L_AC, ac, out)
+    if want_eq:
+        out = jnp.where(k == _L_EQ, _lut_nibble_apply(img, _equalize_lut(img)),
+                        out)
+    return out
 
 
 def _blend_degenerates(img, need_sharp, need_contrast, need_color):
@@ -355,9 +387,9 @@ def _apply_rows(img, rows, rng, table_static, magnitude_std):
     luts, blends = table_static
     out = img
     if luts:
-        lut = _build_lut(img, kind, arg, _L_EQ in luts, _L_AC in luts)
         out = jnp.where((cls == _CLS_LUT)[:, None, None, None],
-                        _apply_lut(img, lut), out)
+                        _apply_point_ops(img, kind, arg, _L_EQ in luts,
+                                         _L_AC in luts), out)
     if blends:
         degs = _blend_degenerates(img, _B_SHARP in blends,
                                   _B_CONTRAST in blends, _B_COLOR in blends)
