@@ -1,0 +1,107 @@
+"""The HTTP serving layer (demo/serve.py): real sockets, real predictors.
+
+Parity: the reference's gradio apps expose one model behind an upload box
+(reference gradio_demo/*.py); here the stdlib server is driven end-to-end
+with an in-process ThreadingHTTPServer and urllib."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+jax = pytest.importorskip("jax")
+
+
+@pytest.fixture(scope="module")
+def server():
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
+    from serve import build_server
+    httpd, model_server = build_server(
+        ["classification"],
+        config={"classification": {"network": "resnet18", "num_classes": 7,
+                                   "input_size": 32}},
+        port=0)                                      # ephemeral port
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _jpeg_bytes(seed=0, hw=40):
+    img = np.random.RandomState(seed).randint(0, 255, (hw, hw, 3), np.uint8)
+    ok, buf = cv2.imencode(".jpg", img)
+    assert ok
+    return bytes(buf.tobytes())
+
+
+def test_healthz_and_index(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        out = json.loads(r.read())
+    assert out == {"status": "ok", "tasks": ["classification"]}
+    with urllib.request.urlopen(server + "/") as r:
+        page = r.read().decode()
+    assert "/predict/classification" in page
+
+
+def test_predict_classification_raw_body(server):
+    req = urllib.request.Request(server + "/predict/classification?topk=3",
+                                 data=_jpeg_bytes(),
+                                 headers={"Content-Type": "image/jpeg"})
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert len(out["topk"]) == 3
+    probs = [e["prob"] for e in out["topk"]]
+    assert probs == sorted(probs, reverse=True)
+    assert all(0.0 <= p <= 1.0 for p in probs)
+    assert all(0 <= e["class_index"] < 7 for e in out["topk"])
+
+
+def test_predict_multipart_form(server):
+    boundary = "xBOUNDARYx"
+    payload = (f"--{boundary}\r\nContent-Disposition: form-data; "
+               f'name="file"; filename="a.jpg"\r\n'
+               f"Content-Type: image/jpeg\r\n\r\n").encode() \
+        + _jpeg_bytes(1) + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        server + "/predict/classification", data=payload,
+        headers={"Content-Type":
+                 f"multipart/form-data; boundary={boundary}"})
+    with urllib.request.urlopen(req) as r:
+        out = json.loads(r.read())
+    assert len(out["topk"]) == 5
+
+
+def test_unknown_task_404_and_bad_image_400(server):
+    req = urllib.request.Request(server + "/predict/nope", data=b"x")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 404
+    req = urllib.request.Request(server + "/predict/classification",
+                                 data=b"not an image")
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+
+
+def test_concurrent_requests(server):
+    """ThreadingHTTPServer + per-predictor lock: concurrent posts all
+    succeed and agree with the serial answer."""
+    body = _jpeg_bytes(2)
+    results = []
+
+    def post():
+        req = urllib.request.Request(server + "/predict/classification",
+                                     data=body)
+        with urllib.request.urlopen(req) as r:
+            results.append(json.loads(r.read()))
+
+    threads = [threading.Thread(target=post) for _ in range(4)]
+    [t.start() for t in threads]
+    [t.join() for t in threads]
+    assert len(results) == 4
+    assert all(r == results[0] for r in results)
