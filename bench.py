@@ -7,6 +7,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
+import threading
 import time
 
 import jax
@@ -34,7 +36,36 @@ def chip_peak_flops():
     return 197e12
 
 
+def _attach_watchdog(timeout_s=600.0):
+    """The axon TPU relay can wedge: device attach then hangs forever (not
+    an error, a hang — observed 2026-08-17, >550s with zero progress). If
+    the first device op hasn't completed in ``timeout_s``, emit an honest
+    JSON line recording the outage (value 0.0, never a stale number) so the
+    driver's bench step terminates instead of timing out silently."""
+    done = threading.Event()
+
+    def fire():
+        if done.is_set():
+            return
+        print(json.dumps({
+            "metric": "resnet50_imagenet_train_imgs_per_sec_per_chip",
+            "value": 0.0, "unit": "images/s", "vs_baseline": 0.0,
+            "error": f"TPU relay unresponsive: device attach/first step "
+                     f"did not complete within {timeout_s:.0f}s (relay "
+                     f"wedge — see ROADMAP.md); last good on-chip "
+                     f"measurement was 2712.99 img/s (BENCH_r02.json)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return done
+
+
 def main():
+    watchdog_done = _attach_watchdog(
+        float(os.environ.get("BENCH_ATTACH_TIMEOUT", "600")))
     from simpleaicv_tpu.core.engine import (EngineConfig, create_train_state,
                                             make_train_step)
     from simpleaicv_tpu.core.optim import OptimizerConfig, build_optimizer
@@ -73,6 +104,7 @@ def main():
     # wildly overstate throughput.
     state, m = step(state, batch, rng)
     float(m["loss"])
+    watchdog_done.set()                      # attach + first step completed
 
     # pre-materialise per-step rngs: an EAGER fold_in inside the timed loop
     # is its own relay dispatch and serializes the async step queue
@@ -99,7 +131,6 @@ def main():
     }
     # multi-metric portfolio (bench_all.py), regenerated when stale; the
     # headline stays the ResNet-50 line for cross-round comparability
-    import os
     port = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_PORTFOLIO.json")
     if os.path.exists(port):
