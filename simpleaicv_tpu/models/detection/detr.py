@@ -123,9 +123,13 @@ class DETR(nn.Module):
     use_gradient_checkpoint: bool = False
 
     @nn.compact
-    def __call__(self, x, masks, train: bool = False):
-        """x [B,H,W,3]; masks [B,H,W] True/1 = padding. Returns
+    def __call__(self, x, masks=None, train: bool = False):
+        """x [B,H,W,3]; masks [B,H,W] True/1 = padding (None or a plain
+        bool — e.g. the generic eval CLIs' ``apply(v, x, False)`` — means
+        no padding anywhere). Returns
         (cls_outputs [L,B,Q,num_classes+1], reg_outputs [L,B,Q,4])."""
+        if masks is None or isinstance(masks, bool):
+            masks = jnp.zeros(x.shape[:3], jnp.float32)
         backbone = BACKBONES.create(
             self.backbone_type, features_only=True, name="backbone",
             use_gradient_checkpoint=self.use_gradient_checkpoint)

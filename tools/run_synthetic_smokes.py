@@ -23,6 +23,8 @@ CLI = {
     "1.distillation_training": "train_distill_classification.py",
     "2.masked_image_modeling_training": "train_mae_self_supervised.py",
     "3.detection_training/fake_synthetic/resnet18_fcos": "train_detection.py",
+    "3.detection_training/fake_synthetic/resnet18_detr":
+        "train_detr_detection.py",
     "3.detection_training/fake_synthetic/resnet18_dino":
         "train_detr_detection.py",
     "4.semantic_segmentation_training": "train_semantic_segmentation.py",
