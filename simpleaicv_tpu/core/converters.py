@@ -81,6 +81,30 @@ _MAE_VIT_RULES = [
     (r"^(head|fc)$", "fc"),
 ]
 
+# the reference MAE PRETRAIN model (simpleAICV/masked_image_modeling/models/
+# vit_mae.py:370-460): encoder./decoder. prefixed ViT blocks, an
+# encoder_to_decoder linear and the decoder reconstruction head ``fc``.
+# encoder.pos_embed / decoder.pos_embed are fixed sincos buffers — dropped
+# (our model computes the identical tables; parity-verified in
+# tests/test_reference_parity.py::test_mae_pretrain_parity).
+_REF_MAE_PRETRAIN_RULES = [
+    (r"^encoder\.cls_token$", "cls_token"),
+    (r"^encoder\.patch_embed\.proj$", "patch_embedding"),
+    (r"^encoder\.blocks\.(\d+)\.(norm\d)$", r"encoder_blocks_\1/\2"),
+    (r"^encoder\.blocks\.(\d+)\.attn\.(qkv|proj)$",
+     r"encoder_blocks_\1/attn/\2"),
+    (r"^encoder\.blocks\.(\d+)\.mlp\.(fc\d)$", r"encoder_blocks_\1/mlp/\2"),
+    (r"^encoder\.norm$", "encoder_norm"),
+    (r"^encoder_to_decoder$", "encoder_to_decoder"),
+    (r"^decoder\.mask_token$", "mask_token"),
+    (r"^decoder\.blocks\.(\d+)\.(norm\d)$", r"decoder_blocks_\1/\2"),
+    (r"^decoder\.blocks\.(\d+)\.attn\.(qkv|proj)$",
+     r"decoder_blocks_\1/attn/\2"),
+    (r"^decoder\.blocks\.(\d+)\.mlp\.(fc\d)$", r"decoder_blocks_\1/mlp/\2"),
+    (r"^decoder\.norm$", "decoder_norm"),
+    (r"^decoder\.fc$", "decoder_pred"),
+]
+
 _CONVFORMER_RULES = [
     (r"^downsample_layers\.(\d+)\.(conv|pre_norm|post_norm)$",
      r"downsample_layers_\1/\2"),
@@ -109,6 +133,24 @@ _SAPIENS_RULES = [
     (r"^(backbone\.)?layers\.(\d+)\.ffn\.layers\.1$", r"blocks_\2/mlp/fc2"),
     (r"^(backbone\.)?ln1$", "norm"),
     (r"^head$", "fc"),
+]
+
+# the reference sapiens parsing models (face_parsing/models/
+# sapiens_face_parsing.py, human_parsing/models/sapiens_human_parsing.py):
+# ViTBackbone under ``backbone.`` + VitHead under ``head.`` whose Sequentials
+# interleave ConvTranspose/Conv (indices 0,3,6,9) with parameter-free
+# InstanceNorm + SiLU.
+_REF_SAPIENS_RULES = [
+    (r"^backbone\.pos_embed$", "position_encoding"),
+    (r"^backbone\.patch_embed\.proj$", "patch_embedding"),
+    (r"^backbone\.blocks\.(\d+)\.(norm\d)$", r"blocks_\1/\2"),
+    (r"^backbone\.blocks\.(\d+)\.attn\.(qkv|proj)$", r"blocks_\1/attn/\2"),
+    (r"^backbone\.blocks\.(\d+)\.mlp\.(fc\d)$", r"blocks_\1/mlp/\2"),
+    (r"^head\.deconv_layers\.(\d+)$",
+     lambda m: f"convt{int(m.group(1)) // 3 + 1}"),
+    (r"^head\.conv_layers\.(\d+)$",
+     lambda m: f"conv{int(m.group(1)) // 3 + 1}"),
+    (r"^head\.pred_conv$", "pred_conv"),
 ]
 
 # The reference's OWN ResNet naming (simpleAICV/classification/backbones/
@@ -451,9 +493,11 @@ FAMILIES = {
     "ref_detr": _REF_DETR_RULES,
     "ref_solov2": _REF_SOLOV2_RULES,
     "mae_vit": _MAE_VIT_RULES,
+    "ref_mae_pretrain": _REF_MAE_PRETRAIN_RULES,
     "convformer": _CONVFORMER_RULES,
     "inception_v3": _INCEPTION_RULES,
     "sapiens_vit": _SAPIENS_RULES,
+    "ref_sapiens": _REF_SAPIENS_RULES,
 }
 
 

@@ -1,41 +1,58 @@
-"""Sapiens parsing heads (parity: reference
-simpleAICV/face_parsing/models/sapiens_face_parsing.py:241 and the human
-variant — a sapiens ViT backbone (no cls pooling) + deconvolution seg head
-upsampling token features to per-pixel class logits)."""
+"""Sapiens parsing models (parity: reference
+simpleAICV/face_parsing/models/sapiens_face_parsing.py and the human
+variant simpleAICV/human_parsing/models/sapiens_human_parsing.py).
+
+Structure matches the reference exactly (cross-framework parity test:
+tests/test_reference_parity.py::test_sapiens_parsing_parity):
+
+  * backbone: the reference ViTBackbone (detection/models/backbones/
+    vit.py:70-147) — patch conv (with bias), learned pos-embed (no cls
+    token), TransformerEncoderLayer stack, NO final norm, reshape to
+    spatial feature map.
+  * head: VitHead (sapiens_face_parsing.py:25-95) — 4x [ConvTranspose
+    k4 s2 p1 (no bias) + InstanceNorm (affine-free) + SiLU] with planes
+    (512,256,128,64), then 4x [Conv k1 (no bias) + InstanceNorm + SiLU]
+    with planes (64,64,32,32), then a 1x1 pred conv with bias.  The four
+    stride-2 deconvs upsample the stride-16 tokens back to input
+    resolution — no bilinear resize.
+"""
 
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
-from .common import cdtype
 
+from .common import cdtype
 from ..core.registry import BACKBONES, MODELS
 from .backbones.vit import TransformerEncoderLayer
-from ..ops.upsample import resize_bilinear
 
 __all__ = ["SapiensParsing"]
+
+
+def _instance_norm(x):
+    """torch nn.InstanceNorm2d(planes) default: affine=False, eps=1e-5."""
+    return nn.InstanceNorm(epsilon=1e-5, use_bias=False, use_scale=False)(x)
 
 
 class SapiensParsing(nn.Module):
     backbone_type: str = "sapiens_0_3b"
     num_classes: int = 19
     image_size: int = 512
-    head_planes: int = 256
+    deconv_planes: tuple = (512, 256, 128, 64)
+    conv_planes: tuple = (64, 64, 32, 32)
+    dropout_prob: float = 0.0
     use_gradient_checkpoint: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h, w = x.shape[1], x.shape[2]
-        # sapiens ViT features without the classification head: patch tokens
-        from .backbones.vit import ViT
         backbone = BACKBONES.create(
             self.backbone_type, image_size=self.image_size,
             use_gradient_checkpoint=self.use_gradient_checkpoint)
         patch = backbone.patch_size
         c = backbone.embedding_planes
         b = x.shape[0]
-        # run the ViT trunk manually to keep spatial tokens
+
+        # --- reference ViTBackbone: patch conv + pos embed + blocks ---
         feat = nn.Conv(c, (patch, patch), strides=(patch, patch),
                        padding="VALID", dtype=cdtype(),
                        param_dtype=jnp.float32, name="patch_embedding")(x)
@@ -45,26 +62,35 @@ class SapiensParsing(nn.Module):
                          nn.initializers.truncated_normal(0.02),
                          (1, gh * gw, c), jnp.float32)
         feat = feat + pos.astype(feat.dtype)
+        if train and self.dropout_prob > 0:
+            feat = nn.Dropout(self.dropout_prob, deterministic=False)(feat)
         layer_cls = TransformerEncoderLayer
         if self.use_gradient_checkpoint:
             layer_cls = nn.remat(layer_cls, static_argnums=(2,))
         for i in range(backbone.block_nums):
             feat = layer_cls(backbone.head_nums, backbone.feedforward_ratio,
                              name=f"blocks_{i}")(feat, train)
-        feat = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                            name="norm")(feat)
-        feat = feat.reshape(b, gh, gw, c).astype(jnp.float32)
+        y = feat.reshape(b, gh, gw, c).astype(jnp.float32)
 
-        # deconv seg head: two 2x upsamples + predict, bilinear to input res
-        y = nn.ConvTranspose(self.head_planes, (2, 2), strides=(2, 2),
-                             dtype=jnp.float32, name="deconv1")(feat)
-        y = nn.relu(nn.GroupNorm(num_groups=32, name="gn1")(y))
-        y = nn.ConvTranspose(self.head_planes, (2, 2), strides=(2, 2),
-                             dtype=jnp.float32, name="deconv2")(y)
-        y = nn.relu(nn.GroupNorm(num_groups=32, name="gn2")(y))
-        y = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
-                    name="pred_conv")(y)
-        return resize_bilinear(y, (h, w), spatial_axes=(1, 2))
+        # --- reference VitHead ---
+        # torch ConvTranspose2d(k=4, s=2, p=1, output_padding=0) == flax
+        # ConvTranspose(kernel (4,4), strides (2,2), padding ((2,2),(2,2)))
+        # — flax pads the stride-dilated input, so torch's crop-p maps to
+        # flax pad k-2p-... = 2 per side here; verified numerically to
+        # 6e-8 with the converter's flipped IOHW->HWIO kernel
+        # (core/converters.py _to_jax_layout, "convt" path trigger)
+        for i, planes in enumerate(self.deconv_planes):
+            y = nn.ConvTranspose(planes, (4, 4), strides=(2, 2),
+                                 padding=((2, 2), (2, 2)), use_bias=False,
+                                 dtype=jnp.float32,
+                                 name=f"convt{i + 1}")(y)
+            y = nn.silu(_instance_norm(y))
+        for i, planes in enumerate(self.conv_planes):
+            y = nn.Conv(planes, (1, 1), use_bias=False, dtype=jnp.float32,
+                        name=f"conv{i + 1}")(y)
+            y = nn.silu(_instance_norm(y))
+        return nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                       name="pred_conv")(y)
 
 
 for _name, _bb in [("sapiens_0_3b_face_parsing", "sapiens_0_3b"),

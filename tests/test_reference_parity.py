@@ -423,3 +423,96 @@ def test_solov2_parity():
                atol=1e-3, msg=f"solov2 kernel preds level {lvl}")
         _close(cate_o[lvl], cate_r[lvl].numpy().transpose(0, 2, 3, 1),
                atol=1e-3, msg=f"solov2 cate preds level {lvl}")
+
+
+# ----------------------------------------------------------- convformer -----
+
+def test_convformer_parity():
+    """Reference metaformer (simpleAICV/classification/backbones/
+    convformer.py:267) through the 'convformer' converter — the first use of
+    these rules on a genuine reference state_dict."""
+    ref = ref_module("simpleAICV.classification.backbones.convformer")
+    seed_all(0)
+    tm = ref.convformer_s18(num_classes=11).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.core.registry import BACKBONES
+    fm = BACKBONES.create("convformer_s18", num_classes=11)
+    x = np.random.RandomState(17).rand(2, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x), False), sd, "convformer", 200)
+
+    y_ours = np.asarray(fm.apply(variables, jnp.asarray(x), False))
+    with torch.no_grad():
+        y_ref = tm(to_torch_nchw(x)).numpy()
+    _close(y_ours, y_ref, msg="convformer_s18 logits")
+
+
+# ----------------------------------------------------------- MAE pretrain ---
+
+def test_mae_pretrain_parity():
+    """Reference VITMAEPretrainModel (simpleAICV/masked_image_modeling/
+    models/vit_mae.py:370-460) vs our flax MAE at mask_ratio=0.
+
+    With ratio 0 every patch is kept: the per-sample shuffle differs between
+    the frameworks' RNGs but the decoder unshuffles via restore_ids and the
+    transformer is permutation-equivariant once pos-embeds are pre-added, so
+    the reconstruction is deterministic and comparable. This also verifies
+    the two sincos position-encoding tables are numerically identical (they
+    are dropped from the state_dict and recomputed on our side)."""
+    ref = ref_module("simpleAICV.masked_image_modeling.models.vit_mae")
+    seed_all(0)
+    kw = dict(patch_size=16, image_size=64, mask_ratio=0.0,
+              encoder_embedding_planes=64, encoder_block_nums=2,
+              encoder_head_nums=2, decoder_embedding_planes=32,
+              decoder_block_nums=2, decoder_head_nums=2)
+    tm = ref.VITMAEPretrainModel(**kw).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.vit_mae import VITMAEPretrainModel
+    fm = VITMAEPretrainModel(**kw)
+    x = np.random.RandomState(3).rand(2, 64, 64, 3).astype(np.float32)
+    variables = fm.init({"params": jax.random.PRNGKey(0),
+                         "mask": jax.random.PRNGKey(1)}, jnp.asarray(x),
+                        False)
+    converted = convert_official_state_dict(sd, "ref_mae_pretrain")
+    variables, n = apply_converted(variables, converted)
+    assert n == len(jax.tree.leaves(variables["params"])), n
+
+    pred_o, mask_o = fm.apply(variables, jnp.asarray(x), False)
+    with torch.no_grad():
+        pred_r, mask_r = tm(to_torch_nchw(x))
+    assert float(jnp.sum(mask_o)) == float(mask_r.sum()) == 0.0
+    _close(pred_o, pred_r.numpy(), atol=1e-5, msg="mae reconstruction")
+    # the reconstruction target patchifiers agree too
+    _close(fm.images_to_patch(jnp.asarray(x)),
+           tm.images_to_patch(to_torch_nchw(x)).numpy(),
+           atol=1e-7, msg="images_to_patch")
+
+
+# -------------------------------------------------------------- sapiens -----
+
+def test_sapiens_parsing_parity():
+    """Reference ViTParsing (face_parsing/models/sapiens_face_parsing.py:97)
+    == our SapiensParsing: ViTBackbone (learned pos-embed, no cls, no final
+    norm) + VitHead (4x deconv-k4s2p1 + InstanceNorm + SiLU, 4x conv1x1 +
+    IN + SiLU, pred conv). Small backbone for speed; covers the torch
+    ConvTranspose(k4,s2,p1) <-> flax padding ((2,2),(2,2)) mapping."""
+    ref = ref_module("simpleAICV.face_parsing.models.sapiens_face_parsing")
+    seed_all(0)
+    tm = ref.ViTParsing(backbone_type="vit_small_patch14_backbone",
+                        image_size=56, planes=384, num_classes=7,
+                        deconv_planes=(64, 48, 32, 16),
+                        conv_planes=(16, 16, 8, 8)).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.sapiens_parsing import SapiensParsing
+    fm = SapiensParsing(backbone_type="vit_small_patch14", image_size=56,
+                        num_classes=7, deconv_planes=(64, 48, 32, 16),
+                        conv_planes=(16, 16, 8, 8))
+    x = np.random.RandomState(5).rand(1, 56, 56, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x), False), sd, "ref_sapiens", 150)
+
+    y_ours = np.asarray(fm.apply(variables, jnp.asarray(x), False))
+    with torch.no_grad():
+        y_ref = tm(to_torch_nchw(x)).numpy().transpose(0, 2, 3, 1)
+    _close(y_ours, y_ref, atol=5e-4, msg="sapiens parsing logits")
