@@ -472,6 +472,23 @@ _REF_SOLOV2_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^bbox_head\.(cate|kernel)_pred_conv$", r"bbox_head/\1_pred_conv"),
 ]
 
+# reference YOLACT (instance_segmentation/models/yolact.py:36-355):
+# backbone + YOLACTFPN + ProtoNet + shared head + semantic seg conv; the
+# torch Sequentials interleave convs (even indices) with ReLU/Tanh.
+_REF_YOLACT_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^fpn\.lat_layer_(p\d)$", r"fpn/lat_\1"),
+    (r"^fpn\.pred_layers_(p\d)\.0$", r"fpn/pred_\1"),
+    (r"^fpn\.downsample_layers_(p\d)\.0$", r"fpn/down_\1"),
+    (r"^proto_net\.proto_layers1\.(\d)$",
+     lambda m: f"proto_net/proto1_{int(m.group(1)) // 2}"),
+    (r"^proto_net\.proto_layers2\.(\d)$",
+     lambda m: f"proto_net/proto2_{int(m.group(1)) // 2}"),
+    (r"^head\.conv1\.0$", "head/conv1"),
+    (r"^head\.(bbox|conf)_pred_conv$", r"head/\1_pred_conv"),
+    (r"^head\.coef_pred_conv\.0$", "head/coef_pred_conv"),
+    (r"^semantic_seg_conv$", "semantic_seg_conv"),
+]
+
 FAMILY_PREPASS = {
     "ref_sam": _sam_prepass,
     "ref_detr": _detr_prepass,
@@ -492,6 +509,7 @@ FAMILIES = {
     "ref_sam": _REF_SAM_RULES,
     "ref_detr": _REF_DETR_RULES,
     "ref_solov2": _REF_SOLOV2_RULES,
+    "ref_yolact": _REF_YOLACT_RULES,
     "mae_vit": _MAE_VIT_RULES,
     "ref_mae_pretrain": _REF_MAE_PRETRAIN_RULES,
     "convformer": _CONVFORMER_RULES,

@@ -14,7 +14,7 @@ from ..common import cdtype
 import numpy as np
 
 from ...core.registry import BACKBONES, MODELS
-from ..detection.fpn import RetinaFPN, _upsample_to
+from ...ops.upsample import resize_bilinear
 
 __all__ = ["YOLACT", "YOLACTAnchors", "resnet18_yolact", "resnet34_yolact",
            "resnet50_yolact", "resnet101_yolact", "resnet152_yolact",
@@ -60,6 +60,41 @@ def _conv(planes, k=3, name=None):
                    dtype=cdtype(), param_dtype=jnp.float32, name=name)
 
 
+class YOLACTFPN(nn.Module):
+    """Exact port of the reference YOLACTFPN (yolact.py:36-139): 1x1 lat
+    convs, bilinear align_corners=True top-down adds, per-level 3x3
+    pred conv + ReLU, and P6/P7 as stride-2 3x3 conv + ReLU chains off
+    the post-pred P5."""
+    planes: int = 256
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        c3, c4, c5 = feats
+        p5 = _conv(self.planes, 1, name="lat_p5")(c5)
+        p4 = _conv(self.planes, 1, name="lat_p4")(c4)
+        p4 = resize_bilinear(p5, (p4.shape[1], p4.shape[2]),
+                             align_corners=True).astype(p4.dtype) + p4
+        p3 = _conv(self.planes, 1, name="lat_p3")(c3)
+        p3 = resize_bilinear(p4, (p3.shape[1], p3.shape[2]),
+                             align_corners=True).astype(p3.dtype) + p3
+
+        p5 = nn.relu(_conv(self.planes, 3, name="pred_p5")(p5))
+        p4 = nn.relu(_conv(self.planes, 3, name="pred_p4")(p4))
+        p3 = nn.relu(_conv(self.planes, 3, name="pred_p3")(p3))
+
+        p6 = nn.relu(nn.Conv(self.planes, (3, 3), strides=(2, 2),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=nn.initializers.normal(0.01),
+                             dtype=cdtype(), param_dtype=jnp.float32,
+                             name="down_p6")(p5))
+        p7 = nn.relu(nn.Conv(self.planes, (3, 3), strides=(2, 2),
+                             padding=[(1, 1), (1, 1)],
+                             kernel_init=nn.initializers.normal(0.01),
+                             dtype=cdtype(), param_dtype=jnp.float32,
+                             name="down_p7")(p6))
+        return p3, p4, p5, p6, p7
+
+
 class ProtoNet(nn.Module):
     planes: int = 32
 
@@ -68,7 +103,10 @@ class ProtoNet(nn.Module):
         c = x.shape[-1]
         for i in range(3):
             x = nn.relu(_conv(c, 3, name=f"proto1_{i}")(x))
-        x = _upsample_to(x, out_hw[0], out_hw[1])
+        # reference ProtoNet: F.interpolate(bilinear, align_corners=True)
+        # to the C2 resolution (yolact.py:248-253)
+        x = resize_bilinear(x, (out_hw[0], out_hw[1]),
+                            align_corners=True).astype(x.dtype)
         x = nn.relu(_conv(c, 3, name="proto2_0")(x))
         x = nn.relu(_conv(self.planes, 1, name="proto2_1")(x))
         return x.astype(jnp.float32)
@@ -103,7 +141,7 @@ class YOLACT(nn.Module):
         self.backbone = BACKBONES.create(
             self.backbone_type, features_only=True,
             use_gradient_checkpoint=self.use_gradient_checkpoint)
-        self.fpn = RetinaFPN(planes=self.fpn_planes, use_p5=True)
+        self.fpn = YOLACTFPN(planes=self.fpn_planes)
         self.proto_net = ProtoNet(planes=self.proto_planes)
         self.head = YOLACTHead(num_anchors=3, proto_planes=self.proto_planes,
                                num_classes=self.num_classes)

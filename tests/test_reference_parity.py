@@ -516,3 +516,36 @@ def test_sapiens_parsing_parity():
     with torch.no_grad():
         y_ref = tm(to_torch_nchw(x)).numpy().transpose(0, 2, 3, 1)
     _close(y_ours, y_ref, atol=5e-4, msg="sapiens parsing logits")
+
+
+# --------------------------------------------------------------- yolact -----
+
+def test_yolact_parity():
+    """Reference YOLACT (instance_segmentation/models/yolact.py:256) == our
+    YOLACT after the exact YOLACTFPN port (align_corners=True top-down,
+    per-level pred conv + ReLU, stride-2 P6/P7 chains): every head output,
+    the prototype masks and the auxiliary seg map match to 1e-7."""
+    ref = ref_module("simpleAICV.instance_segmentation.models.yolact")
+    seed_all(0)
+    tm = ref.resnet18_yolact(num_classes=6).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.core.registry import MODELS
+    fm = MODELS.create("resnet18_yolact", num_classes=6)
+    x = np.random.RandomState(8).rand(1, 160, 160, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x), False), sd, "ref_yolact", 100)
+
+    cls_o, box_o, coef_o, proto_o, seg_o = fm.apply(variables,
+                                                    jnp.asarray(x), False)
+    with torch.no_grad():
+        cls_r, box_r, coef_r, proto_r, seg_r = tm(to_torch_nchw(x))
+    _close(proto_o, proto_r.numpy(), atol=1e-5, msg="yolact prototypes")
+    _close(seg_o, seg_r.numpy().transpose(0, 2, 3, 1), atol=1e-5,
+           msg="yolact seg aux")
+    for lvl in range(5):
+        _close(cls_o[lvl], cls_r[lvl].numpy(), atol=1e-5,
+               msg=f"yolact cls level {lvl}")
+        _close(box_o[lvl], box_r[lvl].numpy(), atol=1e-5,
+               msg=f"yolact box level {lvl}")
+        _close(coef_o[lvl], coef_r[lvl].numpy(), atol=1e-5,
+               msg=f"yolact coef level {lvl}")
