@@ -472,6 +472,23 @@ _REF_SOLOV2_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^bbox_head\.(cate|kernel)_pred_conv$", r"bbox_head/\1_pred_conv"),
 ]
 
+# reference VAN (classification/backbones/van.py:322-357): overlapping
+# patch embeds with BN, LKA spatial-gating blocks with per-block BN norms
+# and layer-scale parameters, per-stage final BN, linear head.
+_REF_VAN_RULES = [
+    (r"^patch_embed(\d)\.(proj|norm)$", r"patch_embed\1/\2"),
+    (r"^block(\d)\.(\d+)\.(norm\d)$", r"block\1_\2/\3"),
+    (r"^block(\d)\.(\d+)\.attn\.(proj_\d)$", r"block\1_\2/attn/\3"),
+    (r"^block(\d)\.(\d+)\.attn\.spatial_gating_unit"
+     r"\.(conv0|conv_spatial|conv1)$",
+     r"block\1_\2/attn/spatial_gating_unit/\3"),
+    (r"^block(\d)\.(\d+)\.mlp\.dwconv\.dwconv$", r"block\1_\2/mlp/dwconv"),
+    (r"^block(\d)\.(\d+)\.mlp\.(fc\d)$", r"block\1_\2/mlp/\3"),
+    (r"^block(\d)\.(\d+)\.(layer_scale_\d)$", r"block\1_\2/\3"),
+    (r"^norm(\d)$", r"norm\1"),
+    (r"^head$", "head"),
+]
+
 # reference YOLACT (instance_segmentation/models/yolact.py:36-355):
 # backbone + YOLACTFPN + ProtoNet + shared head + semantic seg conv; the
 # torch Sequentials interleave convs (even indices) with ReLU/Tanh.
@@ -489,9 +506,16 @@ _REF_YOLACT_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^semantic_seg_conv$", "semantic_seg_conv"),
 ]
 
+def _van_prepass(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """VAN layer_scale parameters are stored (1, C, 1, 1); ours are (C,)."""
+    return {k: (np.asarray(v).reshape(-1) if "layer_scale" in k else v)
+            for k, v in sd.items()}
+
+
 FAMILY_PREPASS = {
     "ref_sam": _sam_prepass,
     "ref_detr": _detr_prepass,
+    "ref_van": _van_prepass,
 }
 
 FAMILIES = {
@@ -510,6 +534,7 @@ FAMILIES = {
     "ref_detr": _REF_DETR_RULES,
     "ref_solov2": _REF_SOLOV2_RULES,
     "ref_yolact": _REF_YOLACT_RULES,
+    "ref_van": _REF_VAN_RULES,
     "mae_vit": _MAE_VIT_RULES,
     "ref_mae_pretrain": _REF_MAE_PRETRAIN_RULES,
     "convformer": _CONVFORMER_RULES,

@@ -549,3 +549,32 @@ def test_yolact_parity():
                msg=f"yolact box level {lvl}")
         _close(coef_o[lvl], coef_r[lvl].numpy(), atol=1e-5,
                msg=f"yolact coef level {lvl}")
+
+
+# ------------------------------------------------------------------ van -----
+
+def test_van_parity():
+    """Reference VAN-B0 (classification/backbones/van.py:322) through the
+    new ref_van rules (incl. the (1,C,1,1)->(C,) layer_scale prepass);
+    logits match to 1e-6 and EVERY converted tensor must land, so the
+    constant-initialised layer scales can't silently skip."""
+    ref = ref_module("simpleAICV.classification.backbones.van")
+    seed_all(0)
+    tm = ref.van_b0(num_classes=9).eval()
+    # perturb the layer scales away from their shared constant init so the
+    # test actually proves they are loaded, not just identically initialised
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if "layer_scale" in name:
+                p.add_(torch.randn_like(p) * 0.05)
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.core.registry import BACKBONES
+    fm = BACKBONES.create("van_b0", num_classes=9)
+    x = np.random.RandomState(21).rand(2, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x), False), sd, "ref_van", 300)
+
+    y_ours = np.asarray(fm.apply(variables, jnp.asarray(x), False))
+    with torch.no_grad():
+        y_ref = tm(to_torch_nchw(x)).numpy()
+    _close(y_ours, y_ref, msg="van_b0 logits")
