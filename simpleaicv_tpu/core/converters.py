@@ -472,6 +472,17 @@ _REF_SOLOV2_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^bbox_head\.(cate|kernel)_pred_conv$", r"bbox_head/\1_pred_conv"),
 ]
 
+# reference Darknet19 (classification/backbones/darknet.py:147-250):
+# ConvBnAct Sequentials (layer.0 = conv, layer.1 = bn) and per-stage
+# Darknet19Block Sequentials keyed by class name.
+_REF_DARKNET19_RULES = [
+    (r"^layer1\.layer\.0$", "layer1/conv"),
+    (r"^layer1\.layer\.1$", "layer1/bn"),
+    (r"^layer(\d)\.Darknet19Block\.(\d+)\.layer\.0$", r"layer\1/conv\2/conv"),
+    (r"^layer(\d)\.Darknet19Block\.(\d+)\.layer\.1$", r"layer\1/conv\2/bn"),
+    (r"^layer7\.layer\.0$", "layer7/conv"),
+]
+
 # reference VAN (classification/backbones/van.py:322-357): overlapping
 # patch embeds with BN, LKA spatial-gating blocks with per-block BN norms
 # and layer-scale parameters, per-stage final BN, linear head.
@@ -535,6 +546,7 @@ FAMILIES = {
     "ref_solov2": _REF_SOLOV2_RULES,
     "ref_yolact": _REF_YOLACT_RULES,
     "ref_van": _REF_VAN_RULES,
+    "ref_darknet19": _REF_DARKNET19_RULES,
     "mae_vit": _MAE_VIT_RULES,
     "ref_mae_pretrain": _REF_MAE_PRETRAIN_RULES,
     "convformer": _CONVFORMER_RULES,

@@ -578,3 +578,29 @@ def test_van_parity():
     with torch.no_grad():
         y_ref = tm(to_torch_nchw(x)).numpy()
     _close(y_ours, y_ref, msg="van_b0 logits")
+
+
+# ------------------------------------------------- darknet / cifar resnet ---
+
+@pytest.mark.parametrize("mod,fn,ours,fam,min_n", [
+    ("darknet", "darknet19", "darknet19", "ref_darknet19", 80),
+    ("resnetforcifar", "resnet18cifar", "resnet18cifar", "ref_resnet", 90),
+])
+def test_small_backbone_parity(mod, fn, ours, fam, min_n):
+    """Darknet19 (classification/backbones/darknet.py:147) and the CIFAR
+    ResNet (resnetforcifar.py:108) — the last two reference classification
+    backbones without cross-framework parity evidence."""
+    from simpleaicv_tpu.core.registry import BACKBONES
+    ref = ref_module(f"simpleAICV.classification.backbones.{mod}")
+    seed_all(0)
+    tm = getattr(ref, fn)(num_classes=9).eval()
+    sd = state_dict_numpy(tm)
+
+    fm = BACKBONES.create(ours, num_classes=9)
+    x = np.random.RandomState(4).rand(2, 64, 64, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x), False), sd, fam, min_n)
+
+    y_ours = np.asarray(fm.apply(variables, jnp.asarray(x), False))
+    with torch.no_grad():
+        y_ref = tm(to_torch_nchw(x)).numpy()
+    _close(y_ours, y_ref, msg=f"{fn} logits")
