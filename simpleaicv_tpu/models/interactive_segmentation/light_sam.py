@@ -21,8 +21,7 @@ from .mask_decoder import MaskDecoder
 from .prompt_encoder import PromptEncoder
 from .sam import SAM
 
-__all__ = ["LightSAM", "SAMFPN", "convformer_m36_light_sam",
-           "van_b3_light_sam", "SAMDistillEncoderModel",
+__all__ = ["LightSAM", "SAMFPN", "SAMDistillEncoderModel",
            "SAMDistillModel"]
 
 
@@ -141,11 +140,25 @@ class SAMDistillModel(nn.Module):
         return (tea_masks, tea_ious), (stu_masks, stu_ious)
 
 
-@MODELS.register()
-def convformer_m36_light_sam(**kwargs):
-    return LightSAM(backbone_type="convformer_m36", **kwargs)
+def _register_light_sam_variants():
+    """The reference registers 8 LightSAM backbone variants
+    (light_segment_anything/light_sam.py:18-27); mirror them all, keeping
+    the repo's historical ``convformer_m36_light_sam``/``van_b3_light_sam``
+    aliases."""
+    variants = {
+        "vanb0_light_sam": "van_b0", "vanb1_light_sam": "van_b1",
+        "vanb2_light_sam": "van_b2", "vanb3_light_sam": "van_b3",
+        "convformers18_light_sam": "convformer_s18",
+        "convformers36_light_sam": "convformer_s36",
+        "convformerm36_light_sam": "convformer_m36",
+        "convformerb36_light_sam": "convformer_b36",
+        "convformer_m36_light_sam": "convformer_m36",
+        "van_b3_light_sam": "van_b3",
+    }
+    for name, bb in variants.items():
+        MODELS.register(name)(
+            lambda backbone_type=bb, **kw: LightSAM(
+                backbone_type=backbone_type, **kw))
 
 
-@MODELS.register()
-def van_b3_light_sam(**kwargs):
-    return LightSAM(backbone_type="van_b3", **kwargs)
+_register_light_sam_variants()

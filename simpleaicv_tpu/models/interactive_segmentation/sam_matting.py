@@ -155,6 +155,26 @@ def convformer_m36_sam_matting1(**kwargs):
     return SAMMatting(sam=LightSAM(backbone_type="convformer_m36", **kwargs))
 
 
+def _register_light_sam_matting_variants():
+    """Mirror the reference's 8-backbone light-SAM-matting registries
+    (light_segment_anything_matting/light_sam_matting{1,2}.py:18-27)."""
+    backbones = {
+        "vanb0": "van_b0", "vanb1": "van_b1", "vanb2": "van_b2",
+        "vanb3": "van_b3", "convformers18": "convformer_s18",
+        "convformers36": "convformer_s36", "convformerm36": "convformer_m36",
+        "convformerb36": "convformer_b36",
+    }
+    for short, bb in backbones.items():
+        for suffix, multi in (("matting1", False), ("matting2", True)):
+            MODELS.register(f"{short}_light_sam_{suffix}")(
+                lambda backbone_type=bb, _ml=multi, **kw: SAMMatting(
+                    sam=LightSAM(backbone_type=backbone_type, **kw),
+                    multi_level=_ml))
+
+
+_register_light_sam_matting_variants()
+
+
 @MODELS.register()
 def sam_b_matting2(**kwargs):
     return SAMMatting(sam=_vit_sam(768, 12, 12, (2, 5, 8, 11), **kwargs),
