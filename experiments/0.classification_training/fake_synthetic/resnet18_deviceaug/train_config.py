@@ -27,7 +27,9 @@ class config:
         num_samples=512, image_hw=64, num_classes=num_classes)
     test_dataset = FakeClassificationDataset(
         num_samples=128, image_hw=64, num_classes=num_classes)
-    train_collater = ClassificationCollater()
+    # uint8 transport: raw batches cross the worker pipe at 1/4 the
+    # float32 bytes; the device pipeline casts to f32 on chip
+    train_collater = ClassificationCollater(image_dtype="uint8")
     test_collater = ClassificationCollater()
 
     device_augment = DeviceAugmentPipeline(

@@ -53,7 +53,9 @@ class config:
             Resize(resize=256), CenterCrop(resize=input_image_size),
             Normalize(),
         ]))
-    train_collater = ClassificationCollater()
+    # uint8 transport: raw batches cross the worker pipe at 1/4 the
+    # float32 bytes; the device pipeline casts to f32 on chip
+    train_collater = ClassificationCollater(image_dtype="uint8")
     test_collater = ClassificationCollater()
 
     # device: RandAugment -> /255 -> erasing -> mixup/cutmix, inside jit

@@ -324,3 +324,31 @@ def test_engine_augment_fn_hook():
         lambda a, c: float(jnp.abs(a - c).max()),
         params_before, state2.params))
     assert max(moved) > 0
+
+
+def test_uint8_collater_transport_matches_float32():
+    """ClassificationCollater(image_dtype='uint8') + DeviceAugmentPipeline:
+    identical results to the float32 transport (the pipeline casts on
+    device), at 1/4 the host->device / worker-pipe bytes."""
+    from simpleaicv_tpu.data.collater import ClassificationCollater
+    samples = [{"image": np.random.RandomState(i).randint(
+        0, 256, (16, 16, 3)).astype(np.float32), "label": i % 3}
+        for i in range(4)]
+    b8 = ClassificationCollater(image_dtype="uint8")(samples)
+    bf = ClassificationCollater()(samples)
+    assert b8["image"].dtype == np.uint8
+    assert bf["image"].dtype == np.float32
+
+    pipe = dev.DeviceAugmentPipeline(
+        augment=dev.DeviceAutoAugment("v0"),
+        erasing=dev.DeviceRandomErasing(prob=0.5),
+        mixupcutmix=dev.DeviceMixupCutmix(num_classes=3))
+    rng = jax.random.PRNGKey(3)
+    out8 = pipe({"image": jnp.asarray(b8["image"]),
+                 "label": jnp.asarray(b8["label"])}, rng)
+    outf = pipe({"image": jnp.asarray(bf["image"]),
+                 "label": jnp.asarray(bf["label"])}, rng)
+    np.testing.assert_array_equal(np.asarray(out8["image"]),
+                                  np.asarray(outf["image"]))
+    np.testing.assert_array_equal(np.asarray(out8["label"]),
+                                  np.asarray(outf["label"]))
