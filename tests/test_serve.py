@@ -105,3 +105,38 @@ def test_concurrent_requests(server):
     [t.join() for t in threads]
     assert len(results) == 4
     assert all(r == results[0] for r in results)
+
+
+def test_salient_png_output():
+    """Mask tasks return PNG bytes with ?format=png (and alpha stats JSON
+    otherwise) — served through a real socket on a small PFAN."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
+    from serve import build_server
+    httpd, ms = build_server(
+        ["salient_object_detection"],
+        config={"salient_object_detection": {
+            "network": "resnet18_pfan_segmentation", "input_size": 64}},
+        port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        body = _jpeg_bytes(3, hw=48)
+        req = urllib.request.Request(
+            base + "/predict/salient_object_detection", data=body)
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["alpha_shape"] == [48, 48]
+        assert 0.0 <= out["alpha_mean"] <= 1.0
+        req = urllib.request.Request(
+            base + "/predict/salient_object_detection?format=png", data=body)
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            png = r.read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        arr = cv2.imdecode(np.frombuffer(png, np.uint8), cv2.IMREAD_GRAYSCALE)
+        assert arr.shape == (48, 48)
+    finally:
+        httpd.shutdown()
