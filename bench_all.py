@@ -291,9 +291,12 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
     tx, _ = build_optimizer(opt_cfg, sched_cfg, 1000, state.params)
     step_aug = make_train_step(make_loss_fn(model, CELoss()), tx,
                                EngineConfig(), augment_fn=pipe, donate=False)
+    # uint8 like the production device-aug transport (the pipeline casts
+    # to f32 on chip); must match the loader feed dtype or the step would
+    # recompile mid-timing
     raw_batch = {
         "image": jnp.asarray(np.random.RandomState(0).randint(
-            0, 256, (batch, image, image, 3)).astype(np.float32)),
+            0, 256, (batch, image, image, 3), dtype=np.uint8)),
         "label": const_batch["label"],
     }
     state, m = step_aug(state, raw_batch, rng)
@@ -331,7 +334,10 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
         ds = FakeClassificationDataset(num_samples=batch * (n + 4),
                                        image_hw=image, num_classes=1000,
                                        transform=transform)
-        loader = DataLoader(ds, batch, ClassificationCollater(),
+        # device-aug leg ships uint8 (1/4 the pipe + PCIe bytes)
+        coll = ClassificationCollater(
+            image_dtype="uint8" if use_aug_step else np.float32)
+        loader = DataLoader(ds, batch, coll,
                             num_workers=8, shuffle=False, drop_last=True,
                             worker_mode="process")
         it = iter(loader)
