@@ -34,15 +34,27 @@ class CheckpointManager:
                                                  create=True),
         )
         self._best_dir = os.path.join(self.directory, "best")
+        self._best_ckpt = None  # lazy async StandardCheckpointer
 
     # -- latest (full train state) ------------------------------------------
     def save_latest(self, epoch: int, state, extra: Optional[dict] = None):
+        """Async save: orbax copies device->host before returning, then
+        writes to disk in the background, so the next epoch's compute
+        overlaps the write. The PREVIOUS in-flight save is drained first
+        (serialised writes); call :meth:`wait` before exiting/restoring."""
+        self._mgr.wait_until_finished()
         payload = {"state": state, "extra": extra or {}}
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+
+    def wait(self):
+        """Drain any in-flight async saves (latest + best)."""
         self._mgr.wait_until_finished()
+        if self._best_ckpt is not None:
+            self._best_ckpt.wait_until_finished()
 
     def restore_latest(self, abstract_state, extra_template: Optional[dict] = None):
         """Returns (epoch, state, extra) or None if no checkpoint exists."""
+        self.wait()
         step = self._mgr.latest_step()
         if step is None:
             return None
@@ -54,16 +66,20 @@ class CheckpointManager:
 
     # -- best (bare params) -------------------------------------------------
     def save_best(self, params, metric: float):
-        ckpt = ocp.StandardCheckpointer()
+        if self._best_ckpt is None:
+            self._best_ckpt = ocp.StandardCheckpointer()
+        # drain the previous async best-save before rmtree'ing its target
+        self._best_ckpt.wait_until_finished()
         path = os.path.join(self._best_dir)
         if os.path.exists(path):
             import shutil
             shutil.rmtree(path)
-        ckpt.save(path, {"params": params,
-                         "metric": jnp.asarray(metric, jnp.float32)})
-        ckpt.wait_until_finished()
+        self._best_ckpt.save(path, {"params": params,
+                                    "metric": jnp.asarray(metric,
+                                                          jnp.float32)})
 
     def restore_best(self, abstract_params):
+        self.wait()
         ckpt = ocp.StandardCheckpointer()
         payload = ckpt.restore(
             self._best_dir, {"params": abstract_params,

@@ -333,6 +333,7 @@ class Trainer:
             self.log(f"epoch {epoch} done; loss {loss:.4f} "
                      f"best {self.best_metric:.4f}")
         network = getattr(cfg, "network", "model")
+        self.ckpt.wait()                 # drain overlapped async saves
         if jax.process_index() == 0:
             self.ckpt.finalize_best(network, self.best_metric)
         return self.best_metric
