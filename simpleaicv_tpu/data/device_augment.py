@@ -359,7 +359,8 @@ def _slot_kinds(table):
     kind = table[:, 2].astype(int)
     luts = set(kind[cls == _CLS_LUT].tolist())
     blends = set(kind[cls == _CLS_BLEND].tolist())
-    return luts, blends
+    geoms = set(kind[cls == _CLS_GEOM].tolist())
+    return luts, blends, geoms
 
 
 def _apply_rows(img, rows, rng, table_static, magnitude_std):
@@ -384,7 +385,7 @@ def _apply_rows(img, rows, rng, table_static, magnitude_std):
     apply = jax.random.uniform(r_apply, (bsz,)) <= prob
 
     h, w = img.shape[1], img.shape[2]
-    luts, blends = table_static
+    luts, blends, geoms = table_static
     out = img
     if luts:
         out = jnp.where((cls == _CLS_LUT)[:, None, None, None],
@@ -395,10 +396,12 @@ def _apply_rows(img, rows, rng, table_static, magnitude_std):
                                   _B_CONTRAST in blends, _B_COLOR in blends)
         out = jnp.where((cls == _CLS_BLEND)[:, None, None, None],
                         _apply_blend(img, kind, arg, degs), out)
-    # geometric last (the warp gather is the most expensive pass)
-    mats = _geom_matrices(kind, arg, h, w)
-    out = jnp.where((cls == _CLS_GEOM)[:, None, None, None],
-                    _affine_warp(img, mats), out)
+    # geometric last (the warp gather is the most expensive pass); skipped
+    # entirely when the slot's table has no geometric op
+    if geoms:
+        mats = _geom_matrices(kind, arg, h, w)
+        out = jnp.where((cls == _CLS_GEOM)[:, None, None, None],
+                        _affine_warp(img, mats), out)
     return jnp.where(apply[:, None, None, None], out, img)
 
 

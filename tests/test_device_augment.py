@@ -44,7 +44,10 @@ def _run_op(imgs, name, level, static=None):
     static = static or ({dev._L_INV, dev._L_SOL, dev._L_SOLADD, dev._L_POST,
                          dev._L_EQ, dev._L_AC},
                         {dev._B_BRIGHT, dev._B_COLOR, dev._B_CONTRAST,
-                         dev._B_SHARP})
+                         dev._B_SHARP},
+                        {dev._G_SHEARX, dev._G_SHEARY, dev._G_TXABS,
+                         dev._G_TYABS, dev._G_TXREL, dev._G_TYREL,
+                         dev._G_ROT})
     out = dev._apply_rows(jnp.asarray(imgs), rows, jax.random.PRNGKey(0),
                           static, 0.0)
     return np.asarray(out)
@@ -177,7 +180,9 @@ def test_subpolicy_gather_matches_host_sequence():
         static = ({dev._L_INV, dev._L_SOL, dev._L_SOLADD, dev._L_POST,
                    dev._L_EQ, dev._L_AC},
                   {dev._B_BRIGHT, dev._B_COLOR, dev._B_CONTRAST,
-                   dev._B_SHARP})
+                   dev._B_SHARP},
+                  {dev._G_SHEARX, dev._G_SHEARY, dev._G_TXABS, dev._G_TYABS,
+                   dev._G_TXREL, dev._G_TYREL, dev._G_ROT})
         for (name, _prob, level) in sub:
             rows = _rows(name, 1.0, level).at[:, 7].set(0.0)
             img_d = dev._apply_rows(img_d, rows, jax.random.PRNGKey(0),
