@@ -115,6 +115,31 @@ def _binary_run(p):
     return run
 
 
+@_register("interactive_segmentation")
+def _build_sam(**kw):
+    from predictors import SAMPredictor
+    p = SAMPredictor(**kw)
+
+    def run(img, query):
+        # ?points=x,y;x,y — image-coordinate click prompts (<=9)
+        raw = query.get("points", "")
+        pts = []
+        for tok in raw.split(";"):
+            if "," in tok:
+                x, y = tok.split(",", 1)
+                pts.append((float(x), float(y)))
+        if not pts:
+            h, w = img.shape[:2]
+            pts = [(w / 2.0, h / 2.0)]       # default: centre click
+        mask = p(img, pts)
+        if query.get("format") == "png":
+            return _png(mask * 255)
+        return {"mask_shape": list(mask.shape),
+                "mask_pixels": int(mask.sum()),
+                "points": [[float(x), float(y)] for x, y in pts]}
+    return run
+
+
 @_register("text_recognition")
 def _build_text_recognition(**kw):
     from predictors import TextRecognitionPredictor

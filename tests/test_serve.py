@@ -140,3 +140,43 @@ def test_salient_png_output():
         assert arr.shape == (48, 48)
     finally:
         httpd.shutdown()
+
+
+def test_sam_point_prompt_endpoint():
+    """The interactive-segmentation endpoint accepts ?points=x,y;x,y click
+    prompts and returns mask stats / PNG — the reference's flagship gradio
+    app served over plain HTTP (tiny SAM-B encoder for speed)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
+    from serve import build_server
+    httpd, ms = build_server(
+        ["interactive_segmentation"],
+        config={"interactive_segmentation": {
+            "network": "sam_b", "image_size": 64,
+            "image_encoder_embedding_planes": 64,
+            "image_encoder_block_nums": 2, "image_encoder_head_nums": 2,
+            "image_encoder_window_size": 2,
+            "image_encoder_global_attn_indexes": (1,),
+            "prompt_encoder_embedding_planes": 64}},
+        port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        body = _jpeg_bytes(5, hw=48)
+        req = urllib.request.Request(
+            base + "/predict/interactive_segmentation?points=10,12;30,20",
+            data=body)
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["mask_shape"] == [48, 48]
+        assert out["points"] == [[10.0, 12.0], [30.0, 20.0]]
+        assert 0 <= out["mask_pixels"] <= 48 * 48
+        req = urllib.request.Request(
+            base + "/predict/interactive_segmentation?format=png", data=body)
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        httpd.shutdown()
