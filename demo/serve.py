@@ -115,6 +115,73 @@ def _binary_run(p):
     return run
 
 
+@_register("face_detection")
+def _build_face_detection(**kw):
+    from predictors import FaceDetectionPredictor
+    p = FaceDetectionPredictor(**kw)
+
+    def run(img, query):
+        thr = float(query.get("score_threshold", 0.3))
+        boxes, classes, scores = p(img, score_threshold=thr)
+        return {"faces": [
+            {"box": [float(v) for v in b], "score": float(s)}
+            for b, s in zip(boxes, scores)]}
+    return run
+
+
+@_register("face_parsing")
+def _build_face_parsing(**kw):
+    from predictors import ParsingPredictor
+    return _parsing_run(ParsingPredictor(**kw))
+
+
+@_register("human_parsing")
+def _build_human_parsing(**kw):
+    from predictors import ParsingPredictor
+    kw.setdefault("network", "resnet50_pfan_human_parsing")
+    return _parsing_run(ParsingPredictor(**kw))
+
+
+def _parsing_run(p):
+    def run(img, query):
+        mask = p(img)
+        if query.get("format") == "png":
+            return _png(mask)
+        return {"mask_shape": list(mask.shape),
+                "class_histogram": {int(k): int(v) for k, v in
+                                    zip(*np.unique(mask,
+                                                   return_counts=True))}}
+    return run
+
+
+@_register("instance_segmentation")
+def _build_instance_segmentation(**kw):
+    from predictors import InstanceSegmentationPredictor
+    p = InstanceSegmentationPredictor(**kw)
+
+    def run(img, query):
+        thr = float(query.get("score_threshold", 0.3))
+        masks, classes, scores = p(img, score_threshold=thr)
+        return {"instances": [
+            {"class_index": int(c), "score": float(s),
+             "mask_pixels": int(np.asarray(m).sum())}
+            for m, c, s in zip(masks, classes, scores)]}
+    return run
+
+
+@_register("text_detection")
+def _build_text_detection(**kw):
+    from predictors import TextDetectionPredictor
+    p = TextDetectionPredictor(**kw)
+
+    def run(img, query):
+        boxes, scores = p(img)
+        return {"polygons": [
+            {"points": np.asarray(b, np.float64).tolist(),
+             "score": float(s)} for b, s in zip(boxes, scores)]}
+    return run
+
+
 @_register("interactive_segmentation")
 def _build_sam(**kw):
     from predictors import SAMPredictor

@@ -180,3 +180,42 @@ def test_sam_point_prompt_endpoint():
             assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         httpd.shutdown()
+
+
+def test_remaining_task_endpoints_smoke():
+    """face_detection, face_parsing, instance_segmentation and
+    text_detection endpoints all serve JSON through real sockets on small
+    models (completes the 13-app reference demo surface over HTTP)."""
+    import sys
+    import os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "demo"))
+    from serve import build_server
+    httpd, ms = build_server(
+        ["face_detection", "face_parsing", "instance_segmentation",
+         "text_detection"],
+        config={
+            "face_detection": {"network": "resnet18_retinaface",
+                               "input_size": 64},
+            "face_parsing": {"network": "resnet18_pfan_face_parsing",
+                             "num_classes": 5, "input_size": 64},
+            "instance_segmentation": {"network": "resnet18_solov2",
+                                      "num_classes": 4, "input_size": 64},
+            "text_detection": {"network": "resnet18_dbnet",
+                               "input_size": 64},
+        }, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    body = _jpeg_bytes(7, hw=52)
+    try:
+        for task, key in (("face_detection", "faces"),
+                          ("face_parsing", "mask_shape"),
+                          ("instance_segmentation", "instances"),
+                          ("text_detection", "polygons")):
+            req = urllib.request.Request(base + f"/predict/{task}",
+                                         data=body)
+            with urllib.request.urlopen(req) as r:
+                out = json.loads(r.read())
+            assert key in out, (task, out)
+    finally:
+        httpd.shutdown()
