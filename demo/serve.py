@@ -238,7 +238,7 @@ def _strip_multipart(body, content_type):
     """Extract the first file part from a multipart/form-data body."""
     if "multipart/form-data" not in (content_type or ""):
         return body
-    boundary = content_type.split("boundary=")[-1].strip().encode()
+    boundary = content_type.split("boundary=")[-1].strip().strip('"').encode()
     for part in body.split(b"--" + boundary):
         idx = part.find(b"\r\n\r\n")
         if idx < 0:
