@@ -70,6 +70,10 @@ def _tree_finite(tree) -> jnp.ndarray:
 
 def create_train_state(params, state_vars, tx: optax.GradientTransformation,
                        cfg: EngineConfig) -> TrainState:
+    # 'moe_losses' is a per-step sown intermediate (parallel/moe.py), not
+    # model state: model.init materialises the collection (every collection
+    # is mutable under init) but it must not persist in the train state
+    state_vars = {k: v for k, v in state_vars.items() if k != "moe_losses"}
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,

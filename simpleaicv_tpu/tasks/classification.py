@@ -15,23 +15,31 @@ import jax.numpy as jnp
 from ..core.meters import AccMeter
 
 
-def make_loss_fn(model, criterion) -> Callable:
-    """loss_fn(params, state_vars, batch, rng, train) for the engine."""
+def make_loss_fn(model, criterion, moe_aux_weight: float = 0.01) -> Callable:
+    """loss_fn(params, state_vars, batch, rng, train) for the engine.
+
+    MoE backbones (parallel/moe.py) sow per-layer load-balance losses into
+    the ``moe_losses`` collection; training collects them and adds
+    ``moe_aux_weight *`` their sum to the task loss. Dense models sow
+    nothing, so the term is identically zero for them.
+    """
+    from ..parallel.moe import moe_aux_loss
 
     def loss_fn(params, state_vars, batch, rng, train):
         variables = {"params": params, **state_vars}
-        mutable = [k for k in state_vars] if train else False
         rngs = {"dropout": rng}
-        if train and mutable:
+        if train:
+            mutable = [k for k in state_vars] + ["moe_losses"]
             out, new_vars = model.apply(variables, batch["image"], train,
                                         rngs=rngs, mutable=mutable)
-        elif train:
-            out = model.apply(variables, batch["image"], train, rngs=rngs)
-            new_vars = state_vars
+            aux = moe_aux_loss(new_vars)
+            new_vars = {k: v for k, v in new_vars.items()
+                        if k != "moe_losses"}
+            loss = criterion(out, batch["label"]) + moe_aux_weight * aux
         else:
             out = model.apply(variables, batch["image"], False)
             new_vars = state_vars
-        loss = criterion(out, batch["label"])
+            loss = criterion(out, batch["label"])
         return loss, ({}, new_vars)
 
     return loss_fn
