@@ -65,12 +65,17 @@ def _ring_perm(n: int) -> list[tuple[int, int]]:
 
 
 def _pvary(x, axis):
-    """Mark ``x`` as device-varying over ``axis`` (no-op outside shard_map
-    tracing on jax versions without the vma type system)."""
-    if hasattr(lax, "pcast"):
-        return lax.pcast(x, (axis,), to="varying")
-    if hasattr(lax, "pvary"):
-        return lax.pvary(x, (axis,))
+    """Mark ``x`` as device-varying over ``axis`` (no-op if already varying
+    or on jax versions without the vma type system)."""
+    for name in ("pcast", "pvary"):
+        fn = getattr(lax, name, None)
+        if fn is not None:
+            try:
+                if name == "pcast":
+                    return fn(x, (axis,), to="varying")
+                return fn(x, (axis,))
+            except ValueError:
+                return x  # already varying over this axis
     return x
 
 
