@@ -64,8 +64,10 @@ def _attach_watchdog(timeout_s=600.0):
 
 
 def main():
+    # 420s >> healthy attach+first-compile (~200s worst case) but leaves
+    # headroom under the driver's own bench timeout
     watchdog_done = _attach_watchdog(
-        float(os.environ.get("BENCH_ATTACH_TIMEOUT", "600")))
+        float(os.environ.get("BENCH_ATTACH_TIMEOUT", "420")))
     from simpleaicv_tpu.core.engine import (EngineConfig, create_train_state,
                                             make_train_step)
     from simpleaicv_tpu.core.optim import OptimizerConfig, build_optimizer
