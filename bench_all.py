@@ -114,13 +114,14 @@ def bench_resnet50(steps=100, batch=128, image=224):
     return out
 
 
-def bench_vit_b16(steps=50, batch=128, image=224):
+def bench_vit_b16(steps=50, batch=128, image=224,
+                  network="vit_base_patch16", **model_kw):
     from simpleaicv_tpu.core.registry import BACKBONES
     from simpleaicv_tpu.losses import CELoss
     from simpleaicv_tpu.tasks.classification import make_loss_fn
 
-    model = BACKBONES.create("vit_base_patch16", image_size=image,
-                             num_classes=1000)
+    model = BACKBONES.create(network, image_size=image,
+                             num_classes=1000, **model_kw)
     x0 = jnp.zeros((batch, image, image, 3), jnp.bfloat16)
     data = {
         "image": jnp.asarray(np.random.RandomState(0).randn(
@@ -383,6 +384,14 @@ ALL = {
         lambda: bench_sam_b_1024(use_flash=True),
     "batched_nms_1000x80_device_time": bench_nms_p50,
     "input_pipeline_stall": bench_input_pipeline,
+    # MoE routing overhead on one chip (experts local): dense small ViT vs
+    # the 8-expert top-2 MoE variant at the SAME 197-token count (patch14 @
+    # 196² == patch16 @ 224²) — the delta is the one-hot dispatch/combine
+    # einsum cost (parallel/moe.py)
+    "vit_s_197tok_train":
+        lambda: bench_vit_b16(network="vit_small_patch14", image=196),
+    "vit_moe_s_197tok_train":
+        lambda: bench_vit_b16(network="vit_moe_small_patch16", image=224),
 }
 
 
@@ -403,6 +412,9 @@ def run_portfolio(names=None):
 if __name__ == "__main__":
     import os
     import sys
+
+    from simpleaicv_tpu.core.platform import apply_platform_env
+    apply_platform_env()  # honour SIMPLEAICV_PLATFORM=cpu for offline smokes
     args = sys.argv[1:]
     save = "--save" in args
     names = [a for a in args if not a.startswith("--")] or None
