@@ -102,6 +102,10 @@ class MoEFeedForward(nn.Module):
     num_experts: int = 8
     top_k: int = 2
     capacity_factor: float = 1.25
+    # ST-MoE router z-loss weight (mean logsumexp(logits)^2): keeps router
+    # logits small so the f32 softmax stays well-conditioned under bf16
+    # activations; 0 disables, 1e-3 is the paper default
+    router_z_weight: float = 1e-3
     dtype: Dtype = dtype_field()
 
     @nn.compact
@@ -118,6 +122,9 @@ class MoEFeedForward(nn.Module):
         logits = jnp.asarray(xt, jnp.float32) @ router_w
         probs = jax.nn.softmax(logits, axis=-1)
         dispatch, combine, aux = top_k_dispatch(probs, cap, self.top_k)
+        if self.router_z_weight > 0.0:
+            z = jnp.mean(jnp.square(jax.nn.logsumexp(logits, axis=-1)))
+            aux = aux + self.router_z_weight * z
         self.sow("moe_losses", "aux", aux,
                  init_fn=lambda: jnp.zeros((), jnp.float32),
                  reduce_fn=lambda a, b: a + b)

@@ -79,12 +79,15 @@ def _vit_head(model: ViT, params, x):
 
 
 def make_vit_pipeline_apply(model: ViT, mesh: Mesh, *, n_micro: int,
-                            axis: str = "pipe", remat: bool = False):
+                            axis: str = "pipe", data_axis: str | None = None,
+                            remat: bool = False):
     """Build ``apply(params, stage_params, x) -> logits`` running the block
     stack as a fill+drain microbatch pipeline over ``mesh.shape[axis]``
     stages. ``params`` is the full (replicated) variables['params'] tree —
     embed/head weights are read from it; ``stage_params`` comes from
-    :func:`vit_stage_params`."""
+    :func:`vit_stage_params`. With ``data_axis`` set, the microbatch dim is
+    additionally sharded over it (dp x pp on one mesh: each data-shard runs
+    its own fill+drain ring over its slice of every microbatch)."""
     n_stages = mesh.shape[axis]
     block = TransformerEncoderLayer(model.head_nums, model.feedforward_ratio,
                                     0.0, 0.0, model.use_flash_attention)
@@ -95,12 +98,13 @@ def make_vit_pipeline_apply(model: ViT, mesh: Mesh, *, n_micro: int,
         x, _ = lax.scan(body, x, p)
         return x
 
+    xspec = P(None, data_axis) if data_axis else P()
     pipe = jax.shard_map(
         functools.partial(pipeline_forward, stage_fn, n_stages=n_stages,
                           axis=axis, remat=remat),
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), xspec),
+        out_specs=xspec,
     )
 
     def apply_fn(params, stage_params, x):

@@ -112,6 +112,20 @@ def test_expert_sharded_equals_replicated(mesh8):
                                atol=1e-6)
 
 
+def test_router_z_loss_value():
+    """z-loss == mean(logsumexp(logits)^2); with zero router weights the
+    logits are 0 so logsumexp = log(E) exactly."""
+    layer = MoEFeedForward(hidden=H, num_experts=E, top_k=1,
+                           router_z_weight=1.0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, T, C))
+    params = layer.init(jax.random.PRNGKey(0), x)
+    zeroed = jax.tree.map(jnp.zeros_like, params["params"])
+    _, muts = layer.apply({"params": zeroed}, x, mutable=["moe_losses"])
+    # balanced aux term is exactly 1.0 (uniform probs); z adds log(E)^2
+    want = 1.0 + float(np.log(E)) ** 2
+    np.testing.assert_allclose(float(moe_aux_loss(muts)), want, rtol=1e-6)
+
+
 def test_vit_moe_forward_grads_and_aux():
     from simpleaicv_tpu.core.registry import BACKBONES
 

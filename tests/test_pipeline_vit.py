@@ -50,6 +50,20 @@ def test_pipelined_vit_matches_plain_apply(global_pool):
                                atol=2e-5)
 
 
+def test_pipelined_vit_composes_with_data_parallel():
+    """dp x pp on one ('data','pipe') mesh: microbatches sharded over 'data',
+    stages over 'pipe'; output must still equal plain apply."""
+    model, variables, x = _setup(False)
+    mesh = make_pipeline_mesh(N_STAGES)  # ('data': 2, 'pipe': 4)
+    stage_params = vit_stage_params(variables["params"], N_STAGES, mesh)
+    apply_fn = make_vit_pipeline_apply(model, mesh, n_micro=N_MICRO,
+                                       data_axis="data")
+    got = jax.jit(apply_fn)(variables["params"], stage_params, x)
+    want = model.apply(variables, x, False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5,
+                               atol=2e-5)
+
+
 def test_pipelined_vit_grads_reach_every_stage():
     model, variables, x = _setup(False)
     mesh = make_pipeline_mesh(N_STAGES)
