@@ -26,6 +26,8 @@ class config:
     train_collater = ClassificationCollater()
     test_collater = ClassificationCollater()
 
+    moe_aux_weight = 0.01  # load-balance + router-z aux loss weight
+
     seed = 0
     batch_size = 32
     num_workers = 2

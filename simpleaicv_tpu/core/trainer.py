@@ -178,7 +178,10 @@ class Trainer:
         self.state = create_train_state(params, state_vars, self.tx,
                                         self.engine_cfg)
 
-        loss_fn = make_loss_fn(self.model, config.train_criterion)
+        loss_kw = {}
+        if hasattr(config, "moe_aux_weight"):  # MoE recipes only
+            loss_kw["moe_aux_weight"] = config.moe_aux_weight
+        loss_fn = make_loss_fn(self.model, config.train_criterion, **loss_kw)
         # On-device batched augmentation (data/device_augment.py): runs
         # inside the jitted step on the sharded global batch — replaces the
         # reference's host DataLoader-worker PIL augmentation, which needs

@@ -110,6 +110,7 @@ class MoEFeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        assert self.top_k <= self.num_experts, (self.top_k, self.num_experts)
         b, n, c = x.shape
         t = b * n
         e = self.num_experts

@@ -20,8 +20,9 @@ def make_loss_fn(model, criterion, moe_aux_weight: float = 0.01) -> Callable:
 
     MoE backbones (parallel/moe.py) sow per-layer load-balance losses into
     the ``moe_losses`` collection; training collects them and adds
-    ``moe_aux_weight *`` their sum to the task loss. Dense models sow
-    nothing, so the term is identically zero for them.
+    ``moe_aux_weight *`` their sum to the task loss (configs override via
+    ``config.moe_aux_weight`` — trainer.py passes it through). Dense models
+    sow nothing, so the term is identically zero for them.
     """
     from ..parallel.moe import moe_aux_loss
 
