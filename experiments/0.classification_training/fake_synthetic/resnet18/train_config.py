@@ -32,4 +32,4 @@ class config:
     scheduler = ("CosineLR", {"warm_up_epochs": 0, "min_lr": 1e-5})
     epochs = 5
     print_interval = 4
-    use_ema_model = False
+    use_ema_model = True  # covers the donating train step + EMA aliasing path

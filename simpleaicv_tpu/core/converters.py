@@ -13,6 +13,8 @@ bicubic resize), mirroring the reference's shape-filtered load
 Families:
   torchvision_resnet  conv1/bn1/layerS.B.convJ/downsample -> stem/layerS_B/...
   mae_vit             official MAE ('model' sub-dict): blocks.N.attn.qkv ...
+  dinov2_vit          official DINOv2 trunk (layer-scale/register tokens
+                      dropped, = the reference's key-intersection load)
   convformer          metaformer-baselines naming: stages.N.M.token_mixer ...
   inception_v3        torchvision inception (FID/IS backbone) — same module
                       names, layout conversion only
@@ -103,6 +105,26 @@ _REF_MAE_PRETRAIN_RULES = [
     (r"^decoder\.blocks\.(\d+)\.mlp\.(fc\d)$", r"decoder_blocks_\1/mlp/\2"),
     (r"^decoder\.norm$", "decoder_norm"),
     (r"^decoder\.fc$", "decoder_pred"),
+]
+
+# official DINOv2 checkpoints (dinov2_vitX14[_reg4]_pretrain.pth): the
+# shared trunk uses the same timm naming as MAE (cls_token / pos_embed /
+# patch_embed.proj / blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,fc2} /
+# norm). DINOv2-only tensors — mask_token, register_tokens, blocks.N.ls1/
+# ls2 layer-scale gammas — have no counterpart in the ViT and are dropped,
+# which is exactly the reference converter's key-intersection semantics
+# (classification/weight_convert/convert_vit_dinov2_weight_from_official_
+# dinov2_pretrain_weight.py:45-50: copy only keys present in its ViT).
+# pos_embed size mismatches (518/14 grid vs the recipe's input) resolve in
+# load_state_dict_partial's bicubic pos-embed resize.
+_DINOV2_VIT_RULES = [
+    (r"^cls_token$", "cls_token"),
+    (r"^pos_embed$", "position_encoding"),
+    (r"^patch_embed\.proj$", "patch_embedding"),
+    (r"^blocks\.(\d+)\.(norm\d)$", r"blocks_\1/\2"),
+    (r"^blocks\.(\d+)\.attn\.(qkv|proj)$", r"blocks_\1/attn/\2"),
+    (r"^blocks\.(\d+)\.mlp\.(fc\d)$", r"blocks_\1/mlp/\2"),
+    (r"^norm$", "norm"),
 ]
 
 _CONVFORMER_RULES = [
@@ -548,6 +570,7 @@ FAMILIES = {
     "ref_van": _REF_VAN_RULES,
     "ref_darknet19": _REF_DARKNET19_RULES,
     "mae_vit": _MAE_VIT_RULES,
+    "dinov2_vit": _DINOV2_VIT_RULES,
     "ref_mae_pretrain": _REF_MAE_PRETRAIN_RULES,
     "convformer": _CONVFORMER_RULES,
     "inception_v3": _INCEPTION_RULES,

@@ -79,7 +79,10 @@ def create_train_state(params, state_vars, tx: optax.GradientTransformation,
         params=params,
         state_vars=state_vars,
         opt_state=tx.init(params),
-        ema_params=jax.tree.map(jnp.asarray, params) if cfg.use_ema else None,
+        # must be a COPY: jnp.asarray aliases, and the donating train step
+        # would then donate the same buffer as both params and ema_params
+        # ("Attempt to donate the same buffer twice")
+        ema_params=jax.tree.map(jnp.copy, params) if cfg.use_ema else None,
     )
 
 

@@ -1,5 +1,6 @@
 from .cifar import CIFAR10Dataset, CIFAR100Dataset  # noqa: F401
-from .synthetic import FakeClassificationDataset  # noqa: F401
+from .synthetic import (FakeClassificationDataset,  # noqa: F401
+                        LearnableClassificationDataset)
 from .ilsvrc2012 import ILSVRC2012Dataset  # noqa: F401
 from .coco import CocoDetection, FakeDetectionDataset  # noqa: F401
 from .voc import VocDetection, evaluate_voc_detection  # noqa: F401

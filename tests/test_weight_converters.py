@@ -279,3 +279,52 @@ def test_convformer_converter_coverage():
     # BN running stats in our convformer live in batch_stats with names the
     # official LN-based checkpoints don't have; params must fully load
     assert n == n_params, (n, n_params)
+
+
+def test_dinov2_vit_convert_golden():
+    """DINOv2 official checkpoints: shared trunk converts; DINOv2-only
+    tensors (mask_token / register_tokens / ls1,ls2 layer-scale) are
+    dropped — the reference converter's key-intersection semantics
+    (classification/weight_convert/convert_vit_dinov2_weight_from_official_
+    dinov2_pretrain_weight.py:45-50)."""
+    torch.manual_seed(3)
+    tm = TorchViT()
+    tm.eval()
+    x = np.random.RandomState(3).rand(2, 32, 32, 3).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(torch.tensor(x.transpose(0, 3, 1, 2))).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    del sd["head.weight"], sd["head.bias"]  # DINOv2 pretrain has no head
+    # DINOv2-only keys that must be silently dropped
+    sd["mask_token"] = np.zeros((1, 1, 64), np.float32)
+    sd["register_tokens"] = np.zeros((1, 4, 64), np.float32)
+    for i in range(2):
+        sd[f"blocks.{i}.ls1.gamma"] = np.full((64,), 1e-5, np.float32)
+        sd[f"blocks.{i}.ls2.gamma"] = np.full((64,), 1e-5, np.float32)
+
+    converted = convert_official_state_dict(sd, "dinov2_vit")
+    from flax.traverse_util import flatten_dict
+    for path in flatten_dict(converted["params"]):
+        assert "ls1" not in path and "register" not in path \
+            and "mask_token" not in path, path
+
+    from simpleaicv_tpu.models.backbones.vit import ViT
+    model = ViT(patch_size=16, embedding_planes=64, block_nums=2,
+                head_nums=2, image_size=32, num_classes=10)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 32, 32, 3)), False))()
+    n_params = len(jax.tree.leaves(variables["params"]))
+    variables, n = apply_converted(variables, converted)
+    assert n == n_params - 2, (n, n_params)  # all but fc kernel+bias
+
+    # graft the torch head on so full logits are comparable
+    variables["params"]["fc"]["kernel"] = jnp.asarray(
+        tm.head.weight.detach().numpy().T)
+    variables["params"]["fc"]["bias"] = jnp.asarray(
+        tm.head.bias.detach().numpy())
+    got = np.asarray(model.apply(variables, jnp.asarray(x), False))
+    cos = np.sum(got * ref) / (np.linalg.norm(got) * np.linalg.norm(ref))
+    assert cos > 0.995, cos
+    np.testing.assert_array_equal(got.argmax(-1), ref.argmax(-1))

@@ -44,7 +44,7 @@ def main():
 
     registry = BACKBONES if args.network in BACKBONES.names() else MODELS
     kwargs = {"num_classes": args.num_classes}
-    if args.family in ("mae_vit", "sapiens_vit"):
+    if args.family in ("mae_vit", "dinov2_vit", "sapiens_vit"):
         kwargs["image_size"] = args.image_size
     model = registry.create(args.network, **kwargs)
 
