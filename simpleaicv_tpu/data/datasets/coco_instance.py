@@ -17,19 +17,11 @@ from .coco import CocoDetection
 
 def _segmentation_to_mask(seg, h: int, w: int) -> np.ndarray:
     mask = np.zeros((h, w), np.uint8)
-    if isinstance(seg, dict):
-        counts = seg.get("counts")
-        size = seg.get("size", [h, w])
-        if isinstance(counts, list):  # uncompressed RLE (column-major)
-            flat = np.zeros(size[0] * size[1], np.uint8)
-            pos, val = 0, 0
-            for c in counts:
-                if val:
-                    flat[pos:pos + c] = 1
-                pos += c
-                val = 1 - val
-            mask = flat.reshape(size[1], size[0]).T.astype(np.uint8)
-        return mask
+    if isinstance(seg, dict):  # uncompressed or COCO compressed RLE
+        from simpleaicv_tpu.data.rle import rle_decode
+        if "size" not in seg:
+            seg = dict(seg, size=[h, w])
+        return rle_decode(seg)
     for poly in seg:
         pts = np.asarray(poly, np.float32).reshape(-1, 2).astype(np.int32)
         cv2.fillPoly(mask, [pts], 1)

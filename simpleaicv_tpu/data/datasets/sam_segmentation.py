@@ -16,21 +16,14 @@ import numpy as np
 
 
 def _decode_segmentation(seg, h, w):
-    """Polygon list or uncompressed RLE -> binary mask."""
+    """Polygon list, uncompressed RLE, or COCO compressed RLE (real SA-1B
+    jsons use the compressed string form) -> binary mask."""
     mask = np.zeros((h, w), np.uint8)
     if isinstance(seg, dict):
-        counts = seg.get("counts")
-        if isinstance(counts, list):  # uncompressed RLE
-            flat = np.zeros(h * w, np.uint8)
-            pos, val = 0, 0
-            for c in counts:
-                if val:
-                    flat[pos:pos + c] = 1
-                pos += c
-                val = 1 - val
-            mask = flat.reshape(w, h).T if seg.get("size") else \
-                flat.reshape(h, w)
-        return mask
+        from simpleaicv_tpu.data.rle import rle_decode
+        if "size" not in seg:
+            seg = dict(seg, size=[h, w])
+        return rle_decode(seg)
     for poly in seg:
         pts = np.asarray(poly, np.float32).reshape(-1, 2).astype(np.int32)
         cv2.fillPoly(mask, [pts], 1)
