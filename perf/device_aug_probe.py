@@ -149,7 +149,8 @@ def main():
         sys.path.insert(0, "/root/repo")
         from simpleaicv_tpu.data.device_augment import _equalize_lut
         measure("equalize_hist_lut",
-                lambda x: _equalize_lut(x)[:, :, :1, None] + x, img)
+                lambda x: _equalize_lut(x)[:, 0, 0][:, None, None, None] + x,
+                img)
 
     elif phase == "blends":
         sys.path.insert(0, "/root/repo")

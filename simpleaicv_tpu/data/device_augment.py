@@ -363,13 +363,15 @@ def _slot_kinds(table):
     return luts, blends, geoms
 
 
-def _apply_rows(img, rows, rng, table_static, magnitude_std):
-    """Apply one op slot: per-image rows [B, _ROW_LEN] of op parameters."""
+def _row_draws(rows, rng, magnitude_std):
+    """The random part of one op slot: (apply, arg, cls, kind) per image.
+    Shared by the legacy per-slot path and the single-warp composition so
+    both consume identical rng splits (bit-identical outcomes)."""
     prob, cls, kind = rows[:, 0], rows[:, 1], rows[:, 2]
     p1, cast = rows[:, 3], rows[:, 4]
     q0, q1, neg = rows[:, 5], rows[:, 6], rows[:, 7]
     qlo, qhi, level = rows[:, 8], rows[:, 9], rows[:, 10]
-    bsz = img.shape[0]
+    bsz = rows.shape[0]
     r_apply, r_sign, r_std = jax.random.split(rng, 3)
 
     if magnitude_std > 0:
@@ -383,6 +385,29 @@ def _apply_rows(img, rows, rng, table_static, magnitude_std):
     arg = jnp.clip(q0 + q1 * sgn * f, qlo, qhi)
     # host AugmentOp: skipped iff prob < 1 and random() > prob
     apply = jax.random.uniform(r_apply, (bsz,)) <= prob
+    return apply, arg, cls, kind
+
+
+def _apply_nongeom(img, apply, arg, cls, kind, table_static):
+    """LUT- and blend-class ops of one slot (geometric-class images pass
+    through untouched)."""
+    luts, blends, _ = table_static
+    out = img
+    if luts:
+        out = jnp.where((cls == _CLS_LUT)[:, None, None, None],
+                        _apply_point_ops(img, kind, arg, _L_EQ in luts,
+                                         _L_AC in luts), out)
+    if blends:
+        degs = _blend_degenerates(img, _B_SHARP in blends,
+                                  _B_CONTRAST in blends, _B_COLOR in blends)
+        out = jnp.where((cls == _CLS_BLEND)[:, None, None, None],
+                        _apply_blend(img, kind, arg, degs), out)
+    return jnp.where(apply[:, None, None, None], out, img)
+
+
+def _apply_rows(img, rows, rng, table_static, magnitude_std):
+    """Apply one op slot: per-image rows [B, _ROW_LEN] of op parameters."""
+    apply, arg, cls, kind = _row_draws(rows, rng, magnitude_std)
 
     h, w = img.shape[1], img.shape[2]
     luts, blends, geoms = table_static
@@ -419,6 +444,18 @@ class DeviceAutoAugment:
                           np.float32)                    # [25, 2, 11]
         self.table = jnp.asarray(np.swapaxes(rows, 0, 1))  # [2, 25, 11]
         self._static = _slot_kinds(rows.reshape(-1, _ROW_LEN))
+        self._static_slot = tuple(_slot_kinds(rows[:, s, :])
+                                  for s in range(rows.shape[1]))
+        # single-warp composition: legal iff no sub-policy has geometric
+        # ops in BOTH slots. The nearest-gather warp is the dominant pass
+        # on chip (~60ms/batch at b128 224^2, perf/warp_variants_probe.py —
+        # index-bound, invariant to dtype/padding), so collapsing two
+        # geometric passes into one halves the pipeline where legal
+        # ('original'/'originalr': 0 double-geom sub-policies; 'v0'/'v0r'
+        # have 2 and keep the per-slot path).
+        geom_count = (rows[:, :, 1] == _CLS_GEOM).sum(axis=1)
+        any_geom = bool((geom_count > 0).any())
+        self._single_warp = any_geom and not bool((geom_count >= 2).any())
         self.magnitude_std = float(magnitude_std)
         self.n_sub = rows.shape[0]
 
@@ -426,10 +463,34 @@ class DeviceAutoAugment:
         img = _quantize(img)
         r_idx, r0, r1 = jax.random.split(rng, 3)
         idx = jax.random.randint(r_idx, (img.shape[0],), 0, self.n_sub)
-        for slot, r in ((0, r0), (1, r1)):
-            rows = jnp.take(self.table[slot], idx, axis=0)
-            img = _apply_rows(img, rows, r, self._static, self.magnitude_std)
-        return img
+        rows0 = jnp.take(self.table[0], idx, axis=0)
+        rows1 = jnp.take(self.table[1], idx, axis=0)
+        if not self._single_warp:
+            img = _apply_rows(img, rows0, r0, self._static,
+                              self.magnitude_std)
+            return _apply_rows(img, rows1, r1, self._static,
+                               self.magnitude_std)
+        # ONE warp for both slots. Each image has at most one live
+        # geometric op (static property checked in __init__), and the
+        # ordering is exact: slot-0 colour ops run first, the warp sits
+        # between the slots (a slot-0 geometric op precedes slot-1 colour;
+        # a slot-1 geometric op follows slot-0 colour), slot-1 colour ops
+        # run last. Identical rng consumption to the per-slot path, so
+        # outputs are bit-identical (tests/test_device_augment.py).
+        a0 = _row_draws(rows0, r0, self.magnitude_std)
+        a1 = _row_draws(rows1, r1, self.magnitude_std)
+        ap0, arg0, cls0, k0 = a0
+        ap1, arg1, cls1, k1 = a1
+        h, w = img.shape[1], img.shape[2]
+        img = _apply_nongeom(img, *a0, self._static_slot[0])
+        g0 = ap0 & (cls0 == _CLS_GEOM)
+        g1 = ap1 & (cls1 == _CLS_GEOM)
+        kind = jnp.where(g0, k0, k1)
+        argg = jnp.where(g0, arg0, arg1)
+        mats = _geom_matrices(kind, argg, h, w)
+        img = jnp.where((g0 | g1)[:, None, None, None],
+                        _affine_warp(img, mats), img)
+        return _apply_nongeom(img, *a1, self._static_slot[1])
 
 
 class DeviceRandAugment:

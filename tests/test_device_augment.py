@@ -159,6 +159,35 @@ def test_policies_build_and_run(policy):
     assert np.asarray(out).shape == (B, H, W, 3)
 
 
+@pytest.mark.parametrize("policy", ["original", "originalr"])
+def test_single_warp_composition_bit_identical(policy):
+    """The single-warp slot composition (one nearest-gather pass instead of
+    two, legal when no sub-policy has geometric ops in both slots) must
+    match the legacy per-slot path: same rng splits, same op order per
+    image.  Tolerance: the two paths are different XLA programs, so
+    fusion-order rounding can flip a uint8 value sitting exactly on a
+    rounding boundary — allow <=1 LSB on a vanishing fraction of pixels
+    (same class as the test_op_one_lsb ops)."""
+    aug = dev.DeviceAutoAugment(policy)
+    assert aug._single_warp
+    imgs = jnp.asarray(_imgs(11))
+    for seed in (0, 7):
+        rng = jax.random.PRNGKey(seed)
+        fast = np.asarray(jax.jit(aug.__call__)(imgs, rng))
+        # legacy: force the per-slot path
+        img = dev._quantize(imgs)
+        r_idx, r0, r1 = jax.random.split(rng, 3)
+        idx = jax.random.randint(r_idx, (imgs.shape[0],), 0, aug.n_sub)
+        for slot, r in ((0, r0), (1, r1)):
+            rows = jnp.take(aug.table[slot], idx, axis=0)
+            img = dev._apply_rows(img, rows, r, aug._static, 0.0)
+        legacy = np.asarray(img)
+        diff = np.abs(fast - legacy)
+        assert diff.max() <= 1.0, f"seed {seed}: max diff {diff.max()}"
+        assert (diff > 0).mean() < 5e-3, \
+            f"seed {seed}: {(diff > 0).mean():.2%} pixels differ"
+
+
 @pytest.mark.parametrize("increasing", [True, False])
 def test_randaugment_runs(increasing):
     aug = dev.DeviceRandAugment(N=2, M=9, increasing=increasing)
