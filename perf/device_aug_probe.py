@@ -154,9 +154,10 @@ def main():
 
     elif phase == "blends":
         sys.path.insert(0, "/root/repo")
-        from simpleaicv_tpu.data.device_augment import _blend_degenerates
+        from simpleaicv_tpu.data.device_augment import (_blend_degenerates,
+                                                        _B_COLOR)
         measure("blends",
-                lambda x: _blend_degenerates(x, True, True, True)["color"],
+                lambda x: _blend_degenerates(x, True, True, True)[_B_COLOR],
                 img)
 
     elif phase == "full":

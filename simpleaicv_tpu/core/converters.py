@@ -43,8 +43,13 @@ def _to_jax_layout(path: str, suffix: str, arr: np.ndarray
     if suffix == "bias":
         return "params", "bias", arr
     if suffix == "weight":
-        if arr.ndim == 2 and path.rsplit("/", 1)[-1].endswith("embed"):
-            # torch nn.Embedding -> flax nn.Embed: same (num, features) layout
+        leaf_name = path.rsplit("/", 1)[-1]
+        if (arr.ndim == 2 and leaf_name.endswith("embed")
+                and leaf_name != "enc_out_class_embed"):
+            # torch nn.Embedding -> flax nn.Embed: same (num, features)
+            # layout. DINO-DETR's enc_out_class_embed is a LINEAR head
+            # (deformable_transformer.py:46-60), hence the one exclusion
+            # (the diffusion UNet's class_embed IS an nn.Embedding).
             return "params", "embedding", arr
         if arr.ndim == 4 and "convt" in path.rsplit("/", 1)[-1]:
             # torch ConvTranspose2d IOHW -> flax ConvTranspose HWIO, spatially
@@ -483,6 +488,70 @@ _REF_DETR_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^head\.reg_head\.4$", "reg_head_out"),
 ]
 
+def _dinodetr_prepass(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """nn.Embedding / nn.Parameter leaves that land as whole-tensor flax
+    params, keyed so the generic weight->kernel transpose never touches
+    them. The decoder re-registers bbox_embed/class_embed
+    (reference dinodetr.py:118-119: ``transformer.decoder.bbox_embed =
+    self.bbox_embed``), so the ``transformer.decoder.*_embed`` duplicates
+    are dropped here."""
+    out = {}
+    for k, arr in sd.items():
+        if k.startswith(("transformer.decoder.bbox_embed.",
+                         "transformer.decoder.class_embed.")):
+            continue  # duplicate registration of the shared ModuleLists
+        if k == "label_encoder.weight":
+            out["label_encoder.embedding"] = np.asarray(arr)
+        elif k == "transformer.tgt_embed.weight":
+            out["tgt_embed"] = np.asarray(arr)
+        elif k == "transformer.level_embed":
+            out["level_embed"] = np.asarray(arr)
+        else:
+            out[k] = arr
+    return out
+
+
+# DINO-DETR (simpleAICV/detection/models/dinodetr.py:22-449 +
+# deformable_transformer.py:105-720): detr_resnet backbone, 5-level input
+# projections (Sequential [conv, GroupNorm]), 6+6 deformable transformer
+# (MSDeformAttn linears share names both sides), packed-MHA decoder
+# self-attention, two-stage enc heads, per-layer shared bbox/class heads.
+_REF_DINODETR_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
+    (r"^input_proj_layers\.(\d+)\.0$", r"input_proj_\1"),
+    (r"^input_proj_layers\.(\d+)\.1$", r"input_proj_gn_\1"),
+    (r"^label_encoder\.embedding$", "label_encoder/embedding"),
+    (r"^tgt_embed$", "tgt_embed"),
+    (r"^level_embed$", "level_embed"),
+    (r"^transformer\.enc_output$", "enc_output"),
+    (r"^transformer\.enc_output_norm$", "enc_output_norm"),
+    (r"^transformer\.enc_out_class_embed\.cls_head$", "enc_out_class_embed"),
+    (r"^transformer\.enc_out_bbox_embed\.reg_head\.([024])$",
+     lambda m: f"enc_out_bbox_embed/layers_{int(m.group(1)) // 2}"),
+    (r"^transformer\.encoder\.layers\.(\d+)\.self_attn\."
+     r"(sampling_offsets|attention_weights|value_proj|output_proj)$",
+     r"encoder_\1/self_attn/\2"),
+    (r"^transformer\.encoder\.layers\.(\d+)\.(norm\d|linear\d)$",
+     r"encoder_\1/\2"),
+    (r"^transformer\.decoder\.layers\.(\d+)\.cross_attn\."
+     r"(sampling_offsets|attention_weights|value_proj|output_proj)$",
+     r"decoder_\1/cross_attn/\2"),
+    (r"^transformer\.decoder\.layers\.(\d+)\.self_attn\."
+     r"__mha_([qkv])__\.(kernel|hbias)$",
+     lambda m: (f"decoder_{m.group(1)}/self_attn/{m.group(2)}/"
+                f"{_leaf(m.group(3))}")),
+    (r"^transformer\.decoder\.layers\.(\d+)\.self_attn\.out_proj$",
+     r"decoder_\1/self_attn/out"),
+    (r"^transformer\.decoder\.layers\.(\d+)\.(norm\d|linear\d)$",
+     r"decoder_\1/\2"),
+    (r"^transformer\.decoder\.norm$", "decoder_norm"),
+    (r"^transformer\.decoder\.ref_point_head\.mlp_head\.([02])$",
+     lambda m: f"ref_point_head/layers_{int(m.group(1)) // 2}"),
+    (r"^bbox_embed\.(\d+)\.reg_head\.([024])$",
+     lambda m: f"bbox_embed_{m.group(1)}/layers_{int(m.group(2)) // 2}"),
+    (r"^class_embed\.(\d+)\.cls_head$", r"class_embed_\1"),
+]
+
+
 # SOLOv2 (simpleAICV/instance_segmentation/models/solov2.py:36-584).
 _REF_SOLOV2_RULES = _ref_resnet_rules("backbone.", "backbone/", False) + [
     (r"^fpn\.lateral_conv_layers\.(\d)$", r"fpn/lateral_\1"),
@@ -548,6 +617,7 @@ def _van_prepass(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 FAMILY_PREPASS = {
     "ref_sam": _sam_prepass,
     "ref_detr": _detr_prepass,
+    "ref_dinodetr": _dinodetr_prepass,
     "ref_van": _van_prepass,
 }
 
@@ -565,6 +635,7 @@ FAMILIES = {
     "ref_diffusion_unet": _REF_DIFFUSION_UNET_RULES,
     "ref_sam": _REF_SAM_RULES,
     "ref_detr": _REF_DETR_RULES,
+    "ref_dinodetr": _REF_DINODETR_RULES,
     "ref_solov2": _REF_SOLOV2_RULES,
     "ref_yolact": _REF_YOLACT_RULES,
     "ref_van": _REF_VAN_RULES,

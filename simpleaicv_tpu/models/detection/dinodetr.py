@@ -58,13 +58,21 @@ class MLPHead(nn.Module):
     hidden: int
     out: int
     num_layers: int = 3
+    # reference DINODETRRegHead zero-inits its final Linear
+    # (deformable_transformer.py:74-75)
+    zero_last: bool = False
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_layers):
-            d = self.out if i == self.num_layers - 1 else self.hidden
-            x = nn.Dense(d, dtype=jnp.float32, name=f"layers_{i}")(x)
-            if i < self.num_layers - 1:
+            last = i == self.num_layers - 1
+            d = self.out if last else self.hidden
+            init = ({"kernel_init": nn.initializers.zeros,
+                     "bias_init": nn.initializers.zeros}
+                    if (last and self.zero_last) else {})
+            x = nn.Dense(d, dtype=jnp.float32, name=f"layers_{i}",
+                         **init)(x)
+            if not last:
                 x = nn.relu(x)
         return x
 
@@ -207,7 +215,7 @@ class DINODETR(nn.Module):
         aux [L,B,Q,*], interm (encoder proposals), dn_* (train only)."""
         c = self.hidden_inplanes
         backbone = BACKBONES.create(
-            self.backbone_type, features_only=True,
+            self.backbone_type, features_only=True, name="backbone",
             use_gradient_checkpoint=self.use_gradient_checkpoint)
         feats = list(backbone(x, train))  # C2..C5 (strides 4,8,16,32)
 
@@ -215,12 +223,14 @@ class DINODETR(nn.Module):
         for i, f in enumerate(feats):
             s = nn.Conv(c, (1, 1), name=f"input_proj_{i}")(
                 f.astype(jnp.float32))
-            s = nn.GroupNorm(num_groups=32, name=f"input_proj_gn_{i}")(s)
+            # torch nn.GroupNorm default eps=1e-5 (flax defaults to 1e-6)
+            s = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                             name=f"input_proj_gn_{i}")(s)
             srcs.append(s)
         extra = nn.Conv(c, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         name=f"input_proj_{len(feats)}")(
             feats[-1].astype(jnp.float32))
-        extra = nn.GroupNorm(num_groups=32,
+        extra = nn.GroupNorm(num_groups=32, epsilon=1e-5,
                              name=f"input_proj_gn_{len(feats)}")(extra)
         srcs.append(extra)
         n_levels = len(srcs)
@@ -274,17 +284,31 @@ class DINODETR(nn.Module):
         proposals = jnp.concatenate(props, 0)[None]            # [1,S,4]
         valid = jnp.all((proposals > 0.01) & (proposals < 0.99), -1)
         proposals_unsig = inverse_sigmoid(proposals)
+        # reference fills invalid proposals with +inf
+        # (deformable_transformer.py:224-229); 1e8 is sigmoid-identical
+        # without inf*0 NaN hazards under autodiff
         proposals_unsig = jnp.where(valid[..., None], proposals_unsig, 1e8)
 
+        # reference zeroes the memory at invalid positions BEFORE the
+        # enc_output head (deformable_transformer.py:231-235)
+        out_mem_src = jnp.where(valid[..., None], memory, 0.0)
         out_mem = nn.LayerNorm(name="enc_output_norm")(
-            nn.Dense(c, name="enc_output")(memory))
-        enc_cls = nn.Dense(self.num_classes, name="enc_out_class_embed")(
-            out_mem)
-        enc_delta = MLPHead(c, 4, 3, name="enc_out_bbox_embed")(out_mem)
+            nn.Dense(c, name="enc_output")(out_mem_src))
+        # class heads carry the focal prior bias init
+        # (deformable_transformer.py:52-54: -log((1-0.01)/0.01))
+        cls_bias = nn.initializers.constant(-math.log(99.0))
+        enc_cls = nn.Dense(self.num_classes, bias_init=cls_bias,
+                           name="enc_out_class_embed")(out_mem)
+        enc_delta = MLPHead(c, 4, 3, zero_last=True,
+                            name="enc_out_bbox_embed")(out_mem)
         enc_coord_unsig = enc_delta + proposals_unsig
 
+        # reference takes top-k over the UNMASKED max class logit
+        # (deformable_transformer.py:306-310): invalid positions compete
+        # with their constant zero-feature score; if selected they carry
+        # identical zero features and sigmoid(1e8)=1.0 boxes, so outputs
+        # are tie-order independent
         topk_scores = jnp.max(enc_cls, -1)
-        topk_scores = jnp.where(valid, topk_scores, -1e9)
         _, topk_idx = jax.lax.top_k(topk_scores, self.query_nums)
         ref_unsig = jnp.take_along_axis(enc_coord_unsig,
                                         topk_idx[..., None], 1)
@@ -298,11 +322,14 @@ class DINODETR(nn.Module):
                                (self.query_nums, c), jnp.float32)
         tgt = jnp.broadcast_to(tgt_embed[None], (b,) + tgt_embed.shape)
 
+        # label encoder always materialized (the reference constructs it in
+        # __init__ and no-op-touches it at eval: dinodetr.py:52,366-367)
+        label_enc = nn.Embed(self.num_classes + 1, c, name="label_encoder")
+        tgt = tgt + 0.0 * label_enc(jnp.zeros((), jnp.int32))
+
         # ---- denoising queries (train only; static layout) ----
         dn_meta = None
         if train and annotations is not None and self.dn_number > 0:
-            label_enc = nn.Embed(self.num_classes + 1, c,
-                                 name="label_encoder")
             dn_tgt, dn_ref_unsig, attn_mask, dn_meta = self._prepare_dn(
                 annotations, label_enc)
             tgt = jnp.concatenate([dn_tgt, tgt], 1)
@@ -310,36 +337,55 @@ class DINODETR(nn.Module):
         else:
             attn_mask = None
 
-        # ---- decoder with iterative refinement ----
-        ref = jax.nn.sigmoid(ref_unsig)
-        hs_list, ref_list = [], []
+        # ---- decoder (reference-exact anchor semantics) ----
+        # The reference decoder NEVER reassigns ``reference_points``
+        # (deformable_transformer.py:516-556: no update between layers):
+        # cross-attention and the query position embedding use the INITIAL
+        # top-k/dn anchors at every layer, each layer's box chain value is
+        #   r_{l+1} = sigmoid(bbox_embed_l(out_l_unnormed) + invsig(r0)),
+        # and the reported per-layer boxes recompute the delta on the
+        # NORMED hidden state against the previous chain value
+        # (dinodetr.py:370-380). We reproduce exactly that — trained
+        # reference checkpoints encode this behaviour.
+        ref0 = jax.nn.sigmoid(ref_unsig)
         dec_layer_cls = DecoderLayer
         if self.use_gradient_checkpoint:
             dec_layer_cls = nn.remat(DecoderLayer,
                                      static_argnums=())
         ref_point_head = MLPHead(c, c, 2, name="ref_point_head")
         decoder_norm = nn.LayerNorm(name="decoder_norm")
+        bbox_heads = [MLPHead(c, 4, 3, zero_last=True, name=f"bbox_embed_{i}")
+                      for i in range(self.decoder_layer_nums)]
+
+        # anchors are fixed -> ref_input / query_pos identical per layer
+        ref_input = ref0[:, :, None, :].repeat(n_levels, 2)
+        query_pos = ref_point_head(sine_embed_4d(ref0, c // 2))
+        ref0_unsig_clamped = inverse_sigmoid(ref0)
+
+        hs_list, ref_list = [], [ref0]
         out = tgt
         for i in range(self.decoder_layer_nums):
-            ref_input = ref[:, :, None, :].repeat(n_levels, 2)
-            sine = sine_embed_4d(ref, c // 2)
-            query_pos = ref_point_head(sine)
             out = dec_layer_cls(n_levels, self.head_nums,
                                 self.feedforward_planes,
                                 name=f"decoder_{i}")(out, query_pos,
                                                      ref_input, memory,
                                                      spatial_shapes,
                                                      attn_mask)
-            delta = MLPHead(c, 4, 3, name=f"bbox_embed_{i}")(out)
-            ref = jax.nn.sigmoid(delta + inverse_sigmoid(ref))
+            delta = bbox_heads[i](out)                 # unnormed hidden
+            ref_list.append(jax.nn.sigmoid(delta + ref0_unsig_clamped))
             hs_list.append(decoder_norm(out))
-            ref_list.append(ref)
-            ref = jax.lax.stop_gradient(ref)
 
+        cls_bias = nn.initializers.constant(-math.log(99.0))
         cls_outputs = jnp.stack([
-            nn.Dense(self.num_classes, name=f"class_embed_{i}")(h)
+            nn.Dense(self.num_classes, bias_init=cls_bias,
+                     name=f"class_embed_{i}")(h)
             for i, h in enumerate(hs_list)], 0)        # [L,B,Q,C]
-        coord_outputs = jnp.stack(ref_list, 0)         # [L,B,Q,4]
+        # per-layer boxes: delta on the NORMED hs + previous chain anchor
+        # (reference dinodetr.py:372-380)
+        coord_outputs = jnp.stack([
+            jax.nn.sigmoid(bbox_heads[i](hs_list[i]) +
+                           inverse_sigmoid(ref_list[i]))
+            for i in range(self.decoder_layer_nums)], 0)   # [L,B,Q,4]
 
         outputs = {}
         if dn_meta is not None:

@@ -8,7 +8,7 @@ import math
 
 import flax.linen as nn
 import jax.numpy as jnp
-from ..common import cdtype
+from ..common import acc_dtype, cdtype
 
 PRIOR_BIAS = -math.log((1 - 0.01) / 0.01)
 
@@ -33,7 +33,7 @@ class RetinaClsHead(nn.Module):
             x = nn.relu(_conv(planes, name=f"cls_head_{i}")(x))
         x = _conv(self.num_anchors * self.num_classes, bias_init=PRIOR_BIAS,
                   name="cls_out")(x)
-        return nn.sigmoid(x.astype(jnp.float32))
+        return nn.sigmoid(x.astype(acc_dtype()))
 
 
 class RetinaRegHead(nn.Module):
@@ -62,7 +62,8 @@ class FCOSClsRegCntHead(nn.Module):
             cls_x = _conv(planes, use_bias=not self.use_gn,
                           name=f"cls_head_{i}")(cls_x)
             if self.use_gn:
-                cls_x = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+                cls_x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                     dtype=acc_dtype(),
                                      name=f"cls_gn_{i}")(cls_x)
                 cls_x = cls_x.astype(cdtype())
             cls_x = nn.relu(cls_x)
@@ -71,7 +72,8 @@ class FCOSClsRegCntHead(nn.Module):
             reg_x = _conv(planes, use_bias=not self.use_gn,
                           name=f"reg_head_{i}")(reg_x)
             if self.use_gn:
-                reg_x = nn.GroupNorm(num_groups=32, dtype=jnp.float32,
+                reg_x = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                     dtype=acc_dtype(),
                                      name=f"reg_gn_{i}")(reg_x)
                 reg_x = reg_x.astype(cdtype())
             reg_x = nn.relu(reg_x)
@@ -81,5 +83,5 @@ class FCOSClsRegCntHead(nn.Module):
         reg_out = _conv(4, name="reg_out")(reg_x)
         cnt_out = _conv(1, name="center_out")(reg_x if self.cnt_on_reg
                                               else cls_x)
-        return (nn.sigmoid(cls_out.astype(jnp.float32)), reg_out,
-                nn.sigmoid(cnt_out.astype(jnp.float32)))
+        return (nn.sigmoid(cls_out.astype(acc_dtype())), reg_out,
+                nn.sigmoid(cnt_out.astype(acc_dtype())))

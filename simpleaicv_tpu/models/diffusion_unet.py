@@ -34,7 +34,7 @@ def time_embedding(t, planes: int):
 
 
 def _gn(num_groups, name):
-    return nn.GroupNorm(num_groups=num_groups, dtype=jnp.float32,
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=jnp.float32,
                         param_dtype=jnp.float32, name=name)
 
 

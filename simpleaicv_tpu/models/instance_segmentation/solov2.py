@@ -34,7 +34,8 @@ class ConvGnAct(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = _conv(self.planes, self.kernel_size, name="conv", bias=False)(x)
-        x = nn.GroupNorm(num_groups=32, dtype=jnp.float32, name="gn")(x)
+        x = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32,
+                         name="gn")(x)
         x = x.astype(cdtype())
         return nn.relu(x) if self.has_act else x
 

@@ -78,9 +78,39 @@ def _install_torchvision_stub():
     sys.modules["torchvision.models"] = models
 
 
+def _install_msda_stub():
+    """The reference hard-requires the compiled ``MultiScaleDeformableAttention``
+    CUDA package at import time (multiscale_deformable_attention.py:10-15),
+    but also ships a pure-torch equivalent, ``ms_deform_attn_core_pytorch``
+    (:43-74), in the same module.  This stub satisfies the import and
+    delegates the forward to the reference's OWN pure-torch path, so
+    DINO-DETR parity tests still compare against reference-authored math."""
+    if "MultiScaleDeformableAttention" in sys.modules:
+        return
+    pkg = types.ModuleType("MultiScaleDeformableAttention")
+
+    def ms_deform_attn_forward(value, spatial_shapes, level_start_index,
+                               sampling_locations, attention_weights,
+                               im2col_step):
+        mod = sys.modules[
+            "simpleAICV.detection.models.multiscale_deformable_attention"]
+        shapes = [(int(h), int(w)) for h, w in spatial_shapes]
+        return mod.ms_deform_attn_core_pytorch(
+            value, shapes, sampling_locations, attention_weights)
+
+    def ms_deform_attn_backward(*a, **k):
+        raise NotImplementedError(
+            "MSDA stub: backward not needed for forward parity")
+
+    pkg.ms_deform_attn_forward = ms_deform_attn_forward
+    pkg.ms_deform_attn_backward = ms_deform_attn_backward
+    sys.modules["MultiScaleDeformableAttention"] = pkg
+
+
 def ref_module(dotted: str):
     """Import a module from the reference tree (with the stub installed)."""
     _install_torchvision_stub()
+    _install_msda_stub()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     return importlib.import_module(dotted)

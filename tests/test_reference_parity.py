@@ -398,6 +398,50 @@ def test_detr_parity():
     _close(reg_o, reg_r.numpy(), atol=1e-4, msg="detr boxes")
 
 
+# ------------------------------------------------------------ dino-detr -----
+
+def test_dinodetr_parity():
+    """Full-forward eval parity for DINO-DETR against the actual reference
+    (dinodetr.py:302-408 + deformable_transformer.py:105-720), with the MSDA
+    CUDA package stubbed onto the reference's own pure-torch core
+    (multiscale_deformable_attention.py:43-74). Exercises: detr_resnet
+    backbone, 5-level input projections, 6-layer deformable encoder,
+    two-stage proposal selection (unmasked top-k over zero-filled invalid
+    memory), and the 6-layer decoder with the reference's fixed-anchor
+    refinement semantics."""
+    ref = ref_module("simpleAICV.detection.models.dinodetr")
+    seed_all(0)
+    tm = ref.resnet50_dinodetr(num_classes=20, dn_labelbook_size=20,
+                               query_nums=300).eval()
+    sd = state_dict_numpy(tm)
+
+    from simpleaicv_tpu.models.detection.dinodetr import resnet50_dinodetr
+    fm = resnet50_dinodetr(num_classes=20, query_nums=300)
+    x = np.random.RandomState(21).rand(1, 192, 192, 3).astype(np.float32)
+    variables = _load(fm, (jnp.asarray(x),), sd, "ref_dinodetr", 400)
+
+    out_o = fm.apply(variables, jnp.asarray(x))
+    with torch.no_grad():
+        out_r = tm(to_torch_nchw(x),
+                   torch.zeros(1, 192, 192, dtype=torch.bool))
+
+    _close(out_o["pred_logits"], out_r["pred_logits"].numpy(), atol=1e-3,
+           rtol=1e-2, msg="dinodetr pred_logits")
+    _close(out_o["pred_boxes"], out_r["pred_boxes"].numpy(), atol=1e-3,
+           rtol=1e-2, msg="dinodetr pred_boxes")
+    _close(out_o["interm_pred_logits"],
+           out_r["interm_outputs"]["pred_logits"].numpy(), atol=1e-3,
+           rtol=1e-2, msg="dinodetr interm logits")
+    _close(out_o["interm_pred_boxes"],
+           out_r["interm_outputs"]["pred_boxes"].numpy(), atol=1e-3,
+           rtol=1e-2, msg="dinodetr interm boxes")
+    for l, aux in enumerate(out_r["aux_outputs"]):
+        _close(out_o["aux_pred_logits"][l], aux["pred_logits"].numpy(),
+               atol=1e-3, rtol=1e-2, msg=f"dinodetr aux logits layer {l}")
+        _close(out_o["aux_pred_boxes"][l], aux["pred_boxes"].numpy(),
+               atol=1e-3, rtol=1e-2, msg=f"dinodetr aux boxes layer {l}")
+
+
 # --------------------------------------------------------------- solov2 -----
 
 def test_solov2_parity():
