@@ -43,6 +43,19 @@ def cdtype():
     return _COMPUTE_DTYPE
 
 
+def acc_dtype():
+    """High-precision accumulation dtype paired with the compute dtype.
+
+    f32 when the compute dtype is a 16-bit float (sigmoid / norm math stays
+    out of bf16's 8-bit mantissa); the compute dtype itself otherwise, so the
+    f32 parity mode compares like-for-like against the torch reference.
+    """
+    d = jnp.dtype(_COMPUTE_DTYPE)
+    if d.itemsize <= 2:
+        return jnp.float32
+    return _COMPUTE_DTYPE
+
+
 def dtype_field():
     """A flax Module field defaulting to the global compute dtype."""
     return dataclasses.field(default_factory=cdtype)
