@@ -369,7 +369,88 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
     out["deviceaug_stall_pct"] = round(
         max(0.0, (t_dev - t_devaug) / t_devaug) * 100, 2)
 
-    out.update({"value": out["deviceaug_stall_pct"], "unit": "%"})
+    # decode-once packed cache (data/packed.py): steady-state epochs read
+    # uint8 records through one C-memcpy gather per batch — no decode, no
+    # per-sample python, no pickle — feeding the same device-aug step
+    import tempfile
+    from simpleaicv_tpu.data.packed import (PackReader, PackWriter,
+                                            PackedLoader)
+    n_pack = batch * 12
+    pack_path = os.path.join(tempfile.gettempdir(), "bench_cache.pack")
+    rng_np = np.random.RandomState(0)
+    with PackWriter(pack_path, {"image": ((image, image, 3), "uint8"),
+                                "label": ((), "int32")}, n_pack) as w:
+        img_chunk = rng_np.randint(0, 256, (batch, image, image, 3),
+                                   np.uint8)
+        for i in range(n_pack):
+            w.add({"image": img_chunk[i % batch],
+                   "label": np.int32(i % 1000)})
+
+    def cached_feed(n):
+        loader = PackedLoader(pack_path, batch, shuffle=True, seed=0)
+        done = 0
+        epoch = 0
+        while done < n:
+            loader.set_epoch(epoch)
+            for b in loader:
+                yield {"image": jnp.asarray(b["image"]),
+                       "label": jnp.asarray(b["label"])}
+                done += 1
+                if done >= n:
+                    return
+            epoch += 1
+
+    feed = cached_feed(steps + 1)
+    next(feed)  # warm the prefetch thread + page cache
+    t_cached = timed(step_aug, feed, steps)
+    out["cached_with_loader_ms"] = round(t_cached * 1000, 2)
+    out["cached_stall_pct"] = round(
+        max(0.0, (t_cached - t_devaug) / t_devaug) * 100, 2)
+
+    # host-core budget: imgs/s/core for the two host-side input strategies,
+    # -> cores needed to feed the measured ResNet-50 headline rate
+    reader = PackReader(pack_path)
+    idx = np.random.RandomState(1).randint(0, n_pack, (8, batch))
+    reader.read_batch(idx[0], n_threads=1)  # fault pages in
+    t0 = time.perf_counter()
+    for k in range(8):
+        reader.read_batch(idx[k], n_threads=1)
+    cached_rate = 8 * batch / (time.perf_counter() - t0)
+    out["cached_read_imgs_per_sec_core"] = round(cached_rate, 1)
+
+    jpeg_rate = None
+    try:
+        import cv2
+        from simpleaicv_tpu.data import native_io
+        if native_io.available():
+            # photo-like synthetic (smooth gradient + texture): noise-only
+            # JPEGs decode unrealistically slowly
+            yy, xx = np.mgrid[0:500, 0:375]
+            base = (96 + 64 * np.sin(yy / 37.0) + 48 * np.cos(xx / 23.0))
+            img = np.clip(base[..., None] + np.random.RandomState(0)
+                          .randn(500, 375, 3) * 12, 0, 255).astype(np.uint8)
+            okflag, enc = cv2.imencode(".jpg", img,
+                                       [cv2.IMWRITE_JPEG_QUALITY, 90])
+            data = enc.tobytes()
+            native_io.decode_resize(data, image, letterbox=False)
+            t0 = time.perf_counter()
+            reps = 64
+            for _ in range(reps):
+                native_io.decode_resize(data, image, letterbox=False)
+            jpeg_rate = reps / (time.perf_counter() - t0)
+            out["jpeg_decode_imgs_per_sec_core"] = round(jpeg_rate, 1)
+    except Exception:
+        pass
+
+    target = batch / t_compute          # the compute-bound consumption rate
+    out["host_core_budget"] = {
+        "target_imgs_per_sec": round(target, 1),
+        "cores_needed_cached": round(target / cached_rate, 2),
+        "cores_needed_jpeg":
+            round(target / jpeg_rate, 2) if jpeg_rate else None,
+    }
+
+    out.update({"value": out["cached_stall_pct"], "unit": "%"})
     return out
 
 

@@ -117,16 +117,36 @@ class Trainer:
 
         # ---- data ----
         from ..data.loader import DataLoader
+        from ..data.packed import PackedDataset, PackedLoader
         bs = config.batch_size
         workers = getattr(config, "num_workers", 4)
         # loader_worker_mode "process" parallelises GIL-bound python/PIL
         # augmentation (AutoAugment) across fork workers; "thread" (default)
         # is right for cv2/native-decode pipelines (data/loader.py)
         wmode = getattr(config, "loader_worker_mode", "thread")
-        self.train_loader = DataLoader(config.train_dataset, bs,
-                                       config.train_collater, shuffle=True,
-                                       drop_last=True, num_workers=workers,
-                                       seed=seed, worker_mode=wmode)
+        if (isinstance(config.train_dataset, PackedDataset)
+                and config.train_dataset.transform is None):
+            # decode-once packed cache (data/packed.py): per-batch single
+            # C-memcpy gather replaces per-sample decode + collate + pickle;
+            # uint8 transport feeds the on-device augmentation pipeline
+            collate = None
+            if getattr(config, "device_augment", None) is None:
+                import numpy as _np
+
+                def collate(b):  # host-normalized recipes expect f32 input
+                    out = dict(b)
+                    out["image"] = b["image"].astype(_np.float32)
+                    return out
+            self.train_loader = PackedLoader(
+                config.train_dataset, bs, shuffle=True, drop_last=True,
+                seed=seed, n_threads=workers, collate=collate)
+        else:
+            self.train_loader = DataLoader(config.train_dataset, bs,
+                                           config.train_collater,
+                                           shuffle=True,
+                                           drop_last=True,
+                                           num_workers=workers,
+                                           seed=seed, worker_mode=wmode)
         # `test_dataset` may be a single dataset, or — like the reference's
         # SAM validation across several test sets each epoch
         # (tools/interactive_segmentation_scripts.py:87-105) — a dict

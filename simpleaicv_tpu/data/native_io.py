@@ -50,6 +50,25 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_float, ctypes.c_int,
         ]
+        if lib.nio_version() >= 2:
+            lib.nio_decode_resize_u8.restype = ctypes.c_int
+            lib.nio_decode_resize_u8.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_float, ctypes.c_int,
+            ]
+            lib.nio_batch_decode_files_u8.restype = ctypes.c_int
+            lib.nio_batch_decode_files_u8.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_float, ctypes.c_int,
+            ]
+            lib.nio_gather_records.restype = ctypes.c_int
+            lib.nio_gather_records.argtypes = [
+                ctypes.c_void_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
         _lib = lib
         return lib
     _lib = False
@@ -98,4 +117,62 @@ def batch_decode_files(paths: Sequence[str], hw: int | tuple,
     lib.nio_batch_decode_files(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         H, W, n_threads, pad_value, int(letterbox))
+    return out
+
+
+def decode_resize_u8(data: bytes, hw: int | tuple, pad_value: float = 0.0,
+                     letterbox: bool = True) -> Optional[np.ndarray]:
+    """Decode one JPEG byte string to uint8 HWC at hw (packed-cache lattice).
+    Returns None when the library is absent/old or the decode fails."""
+    lib = _load()
+    if not lib or lib.nio_version() < 2:
+        return None
+    H, W = (hw, hw) if isinstance(hw, int) else hw
+    out = np.empty((H, W, 3), np.uint8)
+    rc = lib.nio_decode_resize_u8(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        H, W, pad_value, int(letterbox))
+    return out if rc == 0 else None
+
+
+def batch_decode_files_u8(paths: Sequence[str], hw: int | tuple,
+                          n_threads: int = 0, pad_value: float = 0.0,
+                          letterbox: bool = True) -> Optional[np.ndarray]:
+    """Decode JPEG files into a collated [N, H, W, 3] uint8 batch."""
+    lib = _load()
+    if not lib or lib.nio_version() < 2:
+        return None
+    H, W = (hw, hw) if isinstance(hw, int) else hw
+    n = len(paths)
+    out = np.empty((n, H, W, 3), np.uint8)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.nio_batch_decode_files_u8(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        H, W, n_threads, pad_value, int(letterbox))
+    return out
+
+
+def gather_records(base: np.ndarray, indices: np.ndarray,
+                   out: Optional[np.ndarray] = None,
+                   n_threads: int = 1) -> Optional[np.ndarray]:
+    """Gather ``base[indices]`` along axis 0 with a GIL-released C memcpy
+    loop (``base`` is typically an mmap'd packed-cache field). Returns None
+    when the native library is unavailable (callers fall back to numpy
+    fancy indexing, which is equivalent but holds the GIL)."""
+    lib = _load()
+    if not lib or lib.nio_version() < 2:
+        return None
+    idx = np.ascontiguousarray(indices, np.int64)
+    rec_bytes = int(np.prod(base.shape[1:], dtype=np.int64)
+                    * base.dtype.itemsize)
+    if out is None:
+        out = np.empty((len(idx),) + base.shape[1:], base.dtype)
+    # np.memmap exposes its mapping through the ctypes/array interface
+    base_ptr = base.ctypes.data_as(ctypes.c_void_p)
+    lib.nio_gather_records(
+        base_ptr, rec_bytes,
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), len(idx),
+        out.ctypes.data_as(ctypes.c_void_p), n_threads)
     return out

@@ -46,9 +46,11 @@ def cdtype():
 def acc_dtype():
     """High-precision accumulation dtype paired with the compute dtype.
 
-    f32 when the compute dtype is a 16-bit float (sigmoid / norm math stays
-    out of bf16's 8-bit mantissa); the compute dtype itself otherwise, so the
-    f32 parity mode compares like-for-like against the torch reference.
+    f32 when the compute dtype is any sub-32-bit dtype — 16-bit floats
+    (bf16/f16: sigmoid / norm math stays out of the 8-bit mantissa) and,
+    conservatively, fp8/int8/int16 should a config ever select one; the
+    compute dtype itself otherwise, so the f32 parity mode compares
+    like-for-like against the torch reference.
     """
     d = jnp.dtype(_COMPUTE_DTYPE)
     if d.itemsize <= 2:

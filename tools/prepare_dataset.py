@@ -17,6 +17,15 @@ Usage:
   python tools/prepare_dataset.py cihp            --root <CIHP> --out <dir>
   python tools/prepare_dataset.py sam-masks   --root <pairs> --out <dir> \
          --set-type train
+  python tools/prepare_dataset.py pack-imagefolder --root <ImageFolder> \
+         --out train_224.pack --size 224
+  python tools/prepare_dataset.py pack-cifar  --root <CIFAR> --out c.pack \
+         --dataset cifar100 --split train
+
+Packing (decode-once cache): writes every sample as a fixed-stride uint8
+record at the training transport resolution so steady-state epochs read
+bytes through an mmap gather instead of decoding JPEGs
+(simpleaicv_tpu/data/packed.py; feeds the on-device augmentation path).
 """
 
 import argparse
@@ -58,6 +67,16 @@ def main(argv=None):
     p = std("sam-masks")
     p.add_argument("--set-type", default="train")
 
+    p = std("pack-imagefolder")
+    p.add_argument("--size", type=int, default=224)
+    p.add_argument("--letterbox", action="store_true")
+    p.add_argument("--threads", type=int, default=0)
+
+    p = std("pack-cifar")
+    p.add_argument("--dataset", choices=("cifar10", "cifar100"),
+                   default="cifar100")
+    p.add_argument("--split", choices=("train", "test"), default="train")
+
     args = parser.parse_args(argv)
 
     if args.cmd in ("rctw", "art", "lsvt", "mlt", "rects"):
@@ -83,6 +102,20 @@ def main(argv=None):
     elif args.cmd == "sam-masks":
         P.convert_mask_folder_to_sa1b(args.root, args.out,
                                       set_type=args.set_type)
+    elif args.cmd == "pack-imagefolder":
+        from simpleaicv_tpu.data.packed import pack_image_folder
+        pack_image_folder(args.root, args.out, image_hw=args.size,
+                          letterbox=args.letterbox, n_threads=args.threads)
+        print(f"packed -> {args.out}")
+    elif args.cmd == "pack-cifar":
+        from simpleaicv_tpu.data.datasets.cifar import (CIFAR10Dataset,
+                                                        CIFAR100Dataset)
+        from simpleaicv_tpu.data.packed import pack_dataset
+        cls = CIFAR100Dataset if args.dataset == "cifar100" else \
+            CIFAR10Dataset
+        ds = cls(args.root, set_name=args.split)
+        pack_dataset(ds, args.out, progress_every=10000)
+        print(f"packed {len(ds)} samples -> {args.out}")
     return 0
 
 
