@@ -13,11 +13,19 @@ into several passes. This implementation pins the pass structure explicitly:
             sum(dy * x) + one elementwise pass producing dx (fuses into
             the upstream dgrad conv chain).
 
-Numerics match flax.linen.BatchNorm (f32 statistics, biased variance,
-``var = E[x^2] - E[x]^2``) — equivalence is tested in
-tests/test_fused_bn.py. Parity target: the reference's per-task
-``nn.BatchNorm2d`` usage (e.g. reference
-simpleAICV/classification/backbones/resnet.py:19-47 ConvBnActBlock).
+Numerics: f32 statistics, biased variance, computed with a SHIFTED
+single-pass reduction — ``var = E[(x-c)^2] - E[x-c]^2`` with the shift ``c``
+taken as the per-channel mean of sample 0 (a 1/N-cost reduce). The naive
+``E[x^2] - E[x]^2`` (which flax.linen.BatchNorm uses) catastrophically
+cancels in f32 when a channel's |mean| >> std: the round-4 trainer-dynamics
+parity harness measured it compounding to a 3.5%-of-logit-scale train-mode
+forward error through ResNet18's 18 stacked BNs (torch f32 was 1.2e-6 from
+an f64 oracle; the unshifted JAX path was 2.9e-2). With the shift, the
+cancellation ratio drops to ~1 and both stacks agree with the f64 oracle.
+Equivalence with flax BN on benign data is tested in tests/test_fused_bn.py.
+Parity target: the reference's per-task ``nn.BatchNorm2d`` usage (e.g.
+reference simpleAICV/classification/backbones/resnet.py:19-47
+ConvBnActBlock), whose torch kernel uses numerically stable variance.
 
 The module below, :class:`FusedBatchNorm`, is variable-compatible with
 ``flax.linen.BatchNorm`` (same ``batch_stats``/``params`` collections and
@@ -63,16 +71,24 @@ def _bn_train_fwd_impl(x, gamma, beta, eps):
     n = x.shape[0] * x.shape[1] * x.shape[2]
     xr = jax.lax.optimization_barrier(x) if _STATS_BARRIER else x
     xf = xr.astype(jnp.float32)
-    # one variadic reduce pass: both sums in a single read of x
-    s1 = jnp.sum(xf, axis=(0, 1, 2))
-    s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 2))
-    mean = s1 / n
-    var = s2 / n - jnp.square(mean)
+    # per-channel shift from sample 0 (a 1/N-cost reduce): close enough to
+    # the batch mean that the shifted-variance subtraction below no longer
+    # cancels (see module docstring)
+    c = jnp.mean(xf[:1], axis=(0, 1, 2))
+    # one variadic reduce pass: both shifted sums in a single read of x
+    # (the x - c subtract fuses into the reduce; nothing is materialized)
+    xs = xf - c
+    s1 = jnp.sum(xs, axis=(0, 1, 2))
+    s2 = jnp.sum(jnp.square(xs), axis=(0, 1, 2))
+    d = s1 / n
+    mean = c + d
+    var = s2 / n - jnp.square(d)
     rstd = jax.lax.rsqrt(var + eps)
-    # elementwise pass (bf16 in/out; fuses into the consumer op)
-    scale = (gamma * rstd).astype(x.dtype)
-    shift = (beta - gamma * rstd * mean).astype(x.dtype)
-    y = x * scale + shift
+    # elementwise pass (bf16 in / bf16 out, f32 intermediate; fuses into the
+    # consumer op). Centred on (x - mean): the expanded x*scale + shift form
+    # cancels in f32 when |mean| >> std (same hazard as the variance above).
+    y = ((x.astype(jnp.float32) - mean) * (gamma * rstd)
+         + beta).astype(x.dtype)
     return y, (mean, var, rstd)
 
 
@@ -93,16 +109,19 @@ def _bn_train_vjp_bwd(eps, res, cts):
     else:
         dyrf, xrf = dyf, xf
     # one variadic reduce pass over (dy, x): both backward sums together.
-    # sum(dy * xhat) is computed from raw x to avoid materializing xhat:
-    #   sum(dy * (x - mean) * rstd) = rstd * (sum(dy*x) - mean*sum(dy))
+    # sum(dy * xhat) is accumulated as sum(dy * (x - mean)) directly — the
+    # subtract fuses into the reduce, nothing is materialized, and it avoids
+    # the f32 cancellation of the algebraic form sum(dy*x) - mean*sum(dy)
+    # (same hazard as the forward's shifted variance; see module docstring)
     s_dy = jnp.sum(dyrf, axis=(0, 1, 2))
-    s_dyx = jnp.sum(dyrf * xrf, axis=(0, 1, 2))
-    s_dyxhat = rstd * (s_dyx - mean * s_dy)
-    # one elementwise pass over (dy, x) -> dx (bf16 out)
+    s_dyxc = jnp.sum(dyrf * (xrf - mean), axis=(0, 1, 2))
+    s_dyxhat = rstd * s_dyxc
+    # one elementwise pass over (dy, x) -> dx (bf16 out); centred on
+    # (x - mean) rather than expanded into x*b + const — the expanded form
+    # cancels in f32 when |mean| >> std, same hazard as above
     a = gamma * rstd
-    b = a * (rstd / n) * s_dyxhat          # coefficient of (x - mean)
-    c = -a * (s_dy / n) + b * mean         # constant term
-    dx = (dyf * a - xf * b + c).astype(x.dtype)
+    k = a * (rstd / n) * s_dyxhat          # coefficient of (x - mean)
+    dx = (dyf * a - (xf - mean) * k - a * (s_dy / n)).astype(x.dtype)
     return dx, s_dyxhat, s_dy
 
 
@@ -151,10 +170,18 @@ class FusedBatchNorm(nn.Module):
         y = y.reshape(orig_shape)
         if not self.is_initializing():
             # same stop-gradient semantics as flax: stats are plain
-            # variables, never differentiated
+            # variables, never differentiated. The running VAR blends the
+            # UNBIASED batch variance (n/(n-1)) — torch BatchNorm semantics
+            # (ATen batch_norm updates running_var with the unbiased
+            # estimate), so reference-trained checkpoints and repo-trained
+            # ones are bit-compatible in eval. flax.linen.BatchNorm blends
+            # the biased one; the difference reaches 3.2% at a 2x2 spatial
+            # (n=32) and was caught by tests/test_reference_train_parity.py.
+            n_stat = x.size // x.shape[-1]
             m = self.momentum
             ra_mean.value = (m * ra_mean.value
                              + (1 - m) * jax.lax.stop_gradient(mean))
             ra_var.value = (m * ra_var.value
-                            + (1 - m) * jax.lax.stop_gradient(var))
+                            + (1 - m) * (n_stat / max(n_stat - 1, 1))
+                            * jax.lax.stop_gradient(var))
         return y
