@@ -69,6 +69,15 @@ def _install_torchvision_stub():
         raise NotImplementedError("deform_conv2d stub: not needed for parity")
 
     ops.deform_conv2d = _no_deform
+
+    # real torch inception core (tests/_torchvision_inception.py) so the
+    # reference's fid_inception_v3 + FIDInception{A,C,E_1,E_2} subclasses
+    # (diffusion_model/metrics/inception.py:162-325) construct for real
+    from tests import _torchvision_inception as _tvi
+    models.inception_v3 = _tvi.inception_v3
+    models.inception = _tvi
+    sys.modules["torchvision.models.inception"] = _tvi
+
     tv.transforms = transforms
     tv.ops = ops
     tv.models = models
@@ -107,10 +116,91 @@ def _install_msda_stub():
     sys.modules["MultiScaleDeformableAttention"] = pkg
 
 
+def _install_runtime_stubs():
+    """Stubs for modules the reference's *runtime* layer (tools/utils.py,
+    tools/scripts.py) imports at module scope but that the trainer-dynamics
+    parity tests never call: thop (MACs profiling, utils.py:18-19) and
+    pycocotools (COCO eval, scripts.py:12-13).  Neither is installed in this
+    image; neither participates in the optimizer/scheduler/train-loop math
+    under test."""
+    if "thop" not in sys.modules:
+        thop = types.ModuleType("thop")
+
+        def _no_profile(*a, **k):
+            raise NotImplementedError("thop stub: not needed for parity")
+
+        thop.profile = _no_profile
+        thop.clever_format = _no_profile
+        sys.modules["thop"] = thop
+    if "pycocotools" not in sys.modules:
+        pct = types.ModuleType("pycocotools")
+        mask = types.ModuleType("pycocotools.mask")
+        cocoeval = types.ModuleType("pycocotools.cocoeval")
+
+        class _NoCOCOeval:  # decode/eval parity never reaches COCOeval
+            def __init__(self, *a, **k):
+                raise NotImplementedError("pycocotools stub")
+
+        cocoeval.COCOeval = _NoCOCOeval
+        pct.mask = mask
+        sys.modules["pycocotools"] = pct
+        sys.modules["pycocotools.mask"] = mask
+        sys.modules["pycocotools.cocoeval"] = cocoeval
+
+
+def patch_cuda_to_cpu():
+    """Make ``.cuda()`` a CPU no-op so the reference's real train loops
+    (which hard-code ``images.cuda()`` / ``tensor.cuda()``,
+    tools/scripts.py:125) run on this GPU-less host.  torch.nn.Module.cuda
+    routes through Tensor-level ``cuda`` via ``Module._apply``, so patching
+    the Tensor method covers both."""
+    if getattr(torch.Tensor.cuda, "_parity_noop", False):
+        return
+    def _cuda_noop(self, *a, **k):
+        return self
+    _cuda_noop._parity_noop = True
+    torch.Tensor.cuda = _cuda_noop
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+
+    # DDP rejects device_ids/output_device for CPU modules; the reference
+    # hard-codes them (tools/utils.py:178-185). Drop them — gloo CPU DDP
+    # otherwise runs the same bucketed-allreduce path.
+    real_ddp = torch.nn.parallel.DistributedDataParallel
+    if not getattr(real_ddp, "_parity_wrapped", False):
+        class _CpuDDP(real_ddp):
+            _parity_wrapped = True
+
+            def __init__(self, module, device_ids=None, output_device=None,
+                         **kw):
+                try:
+                    p = next(module.parameters())
+                    if p.device.type == "cpu":
+                        device_ids, output_device = None, None
+                except StopIteration:
+                    pass
+                super().__init__(module, device_ids=device_ids,
+                                 output_device=output_device, **kw)
+
+        torch.nn.parallel.DistributedDataParallel = _CpuDDP
+        torch.nn.parallel.distributed.DistributedDataParallel = _CpuDDP
+
+
+def init_single_process_group():
+    """One-process gloo group so the reference loop's DDP wrap / all_reduce /
+    barrier calls (tools/scripts.py:18-25,189-200) execute for real."""
+    import tempfile
+    if not torch.distributed.is_initialized():
+        store = tempfile.mktemp(prefix="gloo_init_")
+        torch.distributed.init_process_group(
+            "gloo", init_method=f"file://{store}", world_size=1, rank=0)
+    return torch.distributed.group.WORLD
+
+
 def ref_module(dotted: str):
     """Import a module from the reference tree (with the stub installed)."""
     _install_torchvision_stub()
     _install_msda_stub()
+    _install_runtime_stubs()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     return importlib.import_module(dotted)
