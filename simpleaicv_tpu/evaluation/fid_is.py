@@ -49,17 +49,24 @@ def compute_inception_score(probs: np.ndarray, splits: int = 10):
     return float(np.mean(scores)), float(np.std(scores))
 
 
-def make_inception_feature_fn(weights_path: Optional[str] = None):
-    """feature_fn(images [N,H,W,3] f32 in [-1,1]) -> (pool [N,2048],
-    probs [N,1000]). Architecture: models/inception_v3.py; a torchvision
-    inception_v3 state_dict loads through core/weight_convert.py (FID/IS are
-    only meaningful with trained weights)."""
+def make_inception_feature_fn(weights_path: Optional[str] = None,
+                              fid_variant: bool = True,
+                              resize_input: bool = True,
+                              normalize_input: bool = True):
+    """feature_fn(images [N,H,W,3] f32 in [0,1]) -> (pool [N,2048],
+    probs [N,classes]) with the reference wrapper's exact contract
+    (metrics/inception.py:117-170: bilinear half-pixel resize to 299 ->
+    2x-1 normalize -> blocks -> pool3 / bias-less-fc softmax).
+    fid_variant selects the FID-inception block semantics
+    (models/inception_v3.py, reference fid_inception_v3) — the default,
+    matching the reference's use_fid_inception=True; a torchvision or
+    pt_inception FID state_dict loads through core/converters.py."""
     import jax
     import jax.numpy as jnp
 
     from ..models.inception_v3 import InceptionV3
 
-    model = InceptionV3()
+    model = InceptionV3(fid=fid_variant)
     x0 = jnp.zeros((1, 299, 299, 3), jnp.float32)
     variables = model.init({"params": jax.random.PRNGKey(0)}, x0, False)
     if weights_path:
@@ -75,8 +82,14 @@ def make_inception_feature_fn(weights_path: Optional[str] = None):
 
     @jax.jit
     def forward(images):
-        images = jax.image.resize(
-            images, (images.shape[0], 299, 299, 3), "bilinear")
+        if resize_input and images.shape[1:3] != (299, 299):
+            # jax bilinear resize == F.interpolate(align_corners=False) for
+            # upsampling (half-pixel centers); FID inputs are generated
+            # samples below 299px so this is the only case exercised
+            images = jax.image.resize(
+                images, (images.shape[0], 299, 299, 3), "bilinear")
+        if normalize_input:
+            images = 2.0 * images - 1.0
         pool, logits = model.apply(variables, images, False)
         return pool, jax.nn.softmax(logits, -1)
 

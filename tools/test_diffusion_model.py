@@ -55,12 +55,14 @@ def main():
         from simpleaicv_tpu.evaluation.fid_is import (
             compute_fid, compute_inception_score, make_inception_feature_fn)
         feat_fn = make_inception_feature_fn(inception_weights)
-        fake = images.astype(np.float32) / 127.5 - 1.0
+        # feature fn takes [0,1] (the reference wrapper's input contract,
+        # metrics/inception.py:144-168); samples/dataset are in [-1,1]
+        fake = images.astype(np.float32) / 255.0
         fake_feats, fake_probs = feat_fn(fake)
         reals = []
         for i in range(min(len(config.test_dataset), n)):
             sample = config.test_dataset[i]
-            reals.append(sample["image"])
+            reals.append((np.asarray(sample["image"], np.float32) + 1.0) / 2)
         real_feats, _ = feat_fn(np.stack(reals))
         fid = compute_fid(real_feats, fake_feats)
         is_mean, is_std = compute_inception_score(fake_probs)
