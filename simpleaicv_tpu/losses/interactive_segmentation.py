@@ -74,18 +74,47 @@ class SAMMultiLevelLoss:
 
 @LOSSES.register()
 class SAMMultiLevelIoUMaxLoss(SAMMultiLevelLoss):
-    """Only the level with max IoU-vs-gt contributes (reference :134-244)."""
+    """PER-SAMPLE best-IoU level selection (reference :134-244): for every
+    image, the mask level whose binary IoU vs gt is highest (union + 1e-4
+    form, :196-200) is picked and the single-level losses run on those
+    gathered masks. Round 4 fixed this from a global argmax over the
+    batch-mean IoU — a real semantic difference caught by the loss-parity
+    harness (tests/test_reference_loss_parity.py)."""
 
     def __call__(self, inputs, targets):
         pred_masks, pred_ious = inputs
-        focal, dice, iou_mse, iou_gt = _per_level_losses(
-            pred_masks, pred_ious, targets, self.alpha, self.gamma,
-            self.smooth, self.mask_threshold)
-        best = jnp.argmax(jnp.mean(iou_gt, axis=0))
+        b, k = pred_masks.shape[:2]
+        t = targets.reshape(b, -1).astype(jnp.float32)
+        logits = pred_masks.reshape(b, k, -1).astype(jnp.float32)
+
+        binary = (logits >= self.mask_threshold).astype(jnp.float32)
+        inter = jnp.sum(binary * t[:, None], axis=2)
+        union = jnp.sum(binary, 2) + jnp.sum(t, 1)[:, None] - inter + 1e-4
+        best = jnp.argmax(inter / union, axis=1)                  # [B]
+
+        sel = jnp.take_along_axis(logits, best[:, None, None],
+                                  axis=1)[:, 0]                   # [B,HW]
+        sel_iou = jnp.take_along_axis(
+            pred_ious.astype(jnp.float32), best[:, None], axis=1)[:, 0]
+
+        bce = jnp.maximum(sel, 0) - sel * t + \
+            jnp.log1p(jnp.exp(-jnp.abs(sel)))
+        focal = jnp.mean(self.alpha * (1.0 - jnp.exp(-bce))**self.gamma * bce)
+
+        p = jax.nn.sigmoid(sel)
+        dice = 1.0 - (2 * jnp.sum(p * t) + self.smooth) / (
+            jnp.sum(p) + jnp.sum(t) + self.smooth)
+
+        sel_bin = (sel >= self.mask_threshold).astype(jnp.float32)
+        bin_inter = jnp.sum(sel_bin * t, axis=1)
+        iou_gt = (bin_inter + self.smooth) / (
+            jnp.sum(sel_bin, 1) + jnp.sum(t, 1) - bin_inter + self.smooth)
+        iou_mse = jnp.sum((sel_iou - iou_gt)**2) / b
+
         return {
-            "focal_loss": self.focal_loss_weight * focal[best],
-            "dice_loss": self.dice_loss_weight * dice[best],
-            "iou_predict_loss": self.iou_predict_loss_weight * iou_mse[best],
+            "focal_loss": self.focal_loss_weight * focal,
+            "dice_loss": self.dice_loss_weight * dice,
+            "iou_predict_loss": self.iou_predict_loss_weight * iou_mse,
         }
 
 

@@ -109,7 +109,8 @@ class RetinaDecoder(_DecoderBase):
         wh = jnp.exp(reg_preds[..., 2:4].astype(jnp.float32)) * awh
         ctr = reg_preds[..., 0:2].astype(jnp.float32) * awh + actr
         boxes = jnp.concatenate([ctr - 0.5 * wh, ctr + 0.5 * wh], axis=2)
-        boxes = jnp.floor(boxes)  # reference casts to int32 (decode.py:271)
+        # reference casts to int32 (decode.py:271) == truncation toward zero
+        boxes = jnp.trunc(boxes)
         return self._decode(cls_scores, cls_classes, boxes)
 
 
@@ -143,5 +144,5 @@ class FCOSDecoder(_DecoderBase):
         exp_reg = jnp.exp(reg_preds.astype(jnp.float32))
         boxes = jnp.concatenate([pos[None] - exp_reg[..., 0:2],
                                  pos[None] + exp_reg[..., 2:4]], axis=2)
-        boxes = jnp.floor(boxes)
+        boxes = jnp.trunc(boxes)  # reference astype(np.int32) (decode.py:364)
         return self._decode(cls_scores, cls_classes, boxes)

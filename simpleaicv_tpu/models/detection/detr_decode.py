@@ -49,6 +49,17 @@ class DETRDecoder:
         out_boxes = jnp.where(out_valid[..., None],
                               jnp.take_along_axis(boxes, top_i[..., None], 1),
                               0.0)
+        # reference always pads to max_object_num (decode.py:419-424),
+        # even with fewer queries than that
+        pad = self.max_object_num - k
+        if pad > 0:
+            b = out_scores.shape[0]
+            out_scores = jnp.concatenate(
+                [out_scores, jnp.full((b, pad), -1.0)], 1)
+            out_classes = jnp.concatenate(
+                [out_classes, jnp.full((b, pad), -1, out_classes.dtype)], 1)
+            out_boxes = jnp.concatenate(
+                [out_boxes, jnp.zeros((b, pad, 4))], 1)
         return [np.asarray(out_scores),
                 np.asarray(out_classes, np.float32),
                 np.asarray(out_boxes)]

@@ -1,6 +1,8 @@
 """DINO-DETR decoder (parity: reference
-simpleAICV/detection/decode.py:486-763 — sigmoid scores flattened over
-queries x classes, global top-k selection, cxcywh*scaled-size boxes)."""
+simpleAICV/detection/decode.py:486-713 — per-query sigmoid max/argmax class
+select, score threshold, descending sort + topn, class-agnostic python NMS,
+top max_object_num, cxcywh * scaled-size boxes). One jitted fixed-shape
+program; the reference decodes per image with numpy."""
 
 from __future__ import annotations
 
@@ -9,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.registry import DECODERS
+from ...ops.nms import nms_keep_mask
 
 __all__ = ["DINODETRDecoder"]
 
@@ -17,33 +20,51 @@ __all__ = ["DINODETRDecoder"]
 class DINODETRDecoder:
 
     def __init__(self, num_classes=80, max_object_num=100,
-                 min_score_threshold=0.05, topn=300, **kwargs):
+                 min_score_threshold=0.05, topn=300,
+                 nms_type="python_nms", nms_threshold=0.5, **kwargs):
         self.num_classes = num_classes
         self.max_object_num = max_object_num
         self.min_score_threshold = min_score_threshold
         self.topn = topn
+        self.nms_type = ("python_nms" if nms_type == "torch_nms"
+                         else nms_type)
+        self.nms_threshold = nms_threshold
 
     def __call__(self, preds, scaled_sizes):
         cls_preds = jnp.asarray(preds["pred_logits"])
         reg_preds = jnp.asarray(preds["pred_boxes"])
-        b, q, c = cls_preds.shape
-        probs = jax.nn.sigmoid(cls_preds.astype(jnp.float32)).reshape(b,
-                                                                      q * c)
-        k = min(self.max_object_num, q * c)
-        top_s, top_i = jax.lax.top_k(probs, k)
-        query_idx = top_i // c
-        classes = top_i % c
+        probs = jax.nn.sigmoid(cls_preds.astype(jnp.float32))
+        scores = jnp.max(probs, -1)                 # reference :517-527
+        classes = jnp.argmax(probs, -1)
 
         boxes = jnp.concatenate([reg_preds[..., :2] - reg_preds[..., 2:] / 2,
                                  reg_preds[..., :2] + reg_preds[..., 2:] / 2],
-                                -1)
-        boxes = jnp.take_along_axis(boxes, query_idx[..., None], 1)
-        sizes = jnp.asarray(scaled_sizes, jnp.float32)
+                                -1).astype(jnp.float32)
+        sizes = jnp.asarray(scaled_sizes, jnp.float32)  # [B,2] (h,w)
         scale = jnp.stack([sizes[:, 1], sizes[:, 0], sizes[:, 1],
                            sizes[:, 0]], -1)[:, None, :]
         boxes = boxes * scale
 
-        valid = top_s > self.min_score_threshold
-        return [np.asarray(jnp.where(valid, top_s, -1.0)),
-                np.asarray(jnp.where(valid, classes, -1), np.float32),
-                np.asarray(jnp.where(valid[..., None], boxes, 0.0))]
+        def one_image(sc, cl, bx):
+            masked = jnp.where(sc > self.min_score_threshold, sc, -jnp.inf)
+            k = min(self.topn, sc.shape[0])
+            top_s, top_i = jax.lax.top_k(masked, k)
+            top_valid = top_s > -jnp.inf
+            top_b = bx[top_i]
+            nms_boxes = jnp.where(top_valid[:, None], top_b,
+                                  -1e8 * jnp.ones_like(top_b))
+            if self.nms_type:                        # reference :456-460
+                keep = nms_keep_mask(
+                    nms_boxes, jnp.where(top_valid, top_s, -1e9),
+                    self.nms_threshold, self.nms_type) & top_valid
+            else:
+                keep = top_valid
+            final = jnp.where(keep, top_s, -jnp.inf)
+            out_s, out_i = jax.lax.top_k(final, self.max_object_num)
+            ok = out_s > -jnp.inf
+            return (jnp.where(ok, out_s, -1.0),
+                    jnp.where(ok, cl[top_i][out_i], -1).astype(jnp.float32),
+                    jnp.where(ok[:, None], top_b[out_i], 0.0))
+
+        out = jax.vmap(one_image)(scores, classes, boxes)
+        return [np.asarray(out[0]), np.asarray(out[1]), np.asarray(out[2])]

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...core.registry import DECODERS
+from ...ops.upsample import resize_bilinear
 
 __all__ = ["SOLOV2Decoder", "YOLACTDecoder", "matrix_nms"]
 
@@ -51,18 +52,42 @@ def _points_nms(heatmap):
 
 @DECODERS.register()
 class SOLOV2Decoder:
+    """SOLOv2 decode, exactly the reference's sequence
+    (instance_segmentation/decode.py:339-582) as ONE fixed-shape jitted
+    program: per-level sigmoid + points-NMS -> ALL (grid-cell, class) score
+    pairs above min_score_threshold (not per-cell argmax) -> dynamic-conv
+    soft masks -> stride filter (sum(mask) > cell stride) -> maskness
+    multiply -> score sort + topn -> gaussian Matrix NMS ->
+    update/keep-score thresholds -> top max_object_num -> x4
+    align_corners=True bilinear upsample of the SOFT masks -> threshold.
+
+    Fixed-shape note: the reference materializes masks for the ragged "all
+    pairs above threshold" set; here a candidate pool of the
+    ``candidate_pool`` highest-scoring pairs stands in (default 2*topn —
+    exact whenever at most that many pairs clear min_score_threshold, which
+    trained heads satisfy by orders of magnitude)."""
 
     def __init__(self, strides=(8, 8, 16, 32, 32),
-                 grid_nums=(40, 36, 24, 16, 12), mask_threshold=0.5,
-                 min_score_threshold=0.1, keep_instance_threshold=0.05,
-                 nms_sigma=2.0, topn=500, max_object_num=100):
+                 grid_nums=(40, 36, 24, 16, 12),
+                 mask_feature_upsample_scale=4, mask_threshold=0.5,
+                 min_score_threshold=0.1, keep_score_threshold=0.1,
+                 update_threshold=0.05, nms_sigma=2.0, topn=500,
+                 max_object_num=100, candidate_pool=None,
+                 keep_instance_threshold=None):
+        self.strides = strides
         self.grid_nums = grid_nums
+        self.upsample = mask_feature_upsample_scale
         self.mask_threshold = mask_threshold
         self.min_score_threshold = min_score_threshold
-        self.keep_instance_threshold = keep_instance_threshold
+        # legacy alias from the round-3 decoder
+        self.update_threshold = (keep_instance_threshold
+                                 if keep_instance_threshold is not None
+                                 else update_threshold)
+        self.keep_score_threshold = keep_score_threshold
         self.nms_sigma = nms_sigma
         self.topn = topn
         self.max_object_num = max_object_num
+        self.candidate_pool = candidate_pool or 2 * topn
 
     def __call__(self, preds):
         """preds: (mask_feat [B,h,w,C], kernel_preds, cate_preds).
@@ -80,50 +105,76 @@ class SOLOV2Decoder:
         b = mask_feat.shape[0]
         num_classes = cate_preds[0].shape[-1]
 
-        all_scores, all_labels, all_kernels = [], [], []
+        all_cate, all_kernels, stride_list = [], [], []
         for level, g in enumerate(self.grid_nums):
             cate = jax.nn.sigmoid(cate_preds[level].astype(jnp.float32))
             cate = jax.vmap(_points_nms)(cate)
-            cate = cate.reshape(b, g * g, num_classes)
-            lvl_scores = jnp.max(cate, axis=-1)
-            lvl_labels = jnp.argmax(cate, axis=-1)
-            all_scores.append(lvl_scores)
-            all_labels.append(lvl_labels)
-            all_kernels.append(kernel_preds[level].reshape(
-                b, g * g, -1))
-        scores = jnp.concatenate(all_scores, axis=1)
-        labels = jnp.concatenate(all_labels, axis=1)
-        kernels = jnp.concatenate(all_kernels, axis=1)
+            all_cate.append(cate.reshape(b, g * g, num_classes))
+            all_kernels.append(kernel_preds[level].reshape(b, g * g, -1))
+            stride_list.append(
+                jnp.full((g * g,), self.strides[level], jnp.float32))
+        cate = jnp.concatenate(all_cate, axis=1)           # [B,P,C]
+        kernels = jnp.concatenate(all_kernels, axis=1)     # [B,P,K]
+        cell_strides = jnp.concatenate(stride_list)        # [P]
 
-        scores = jnp.where(scores > self.min_score_threshold, scores, -1.0)
-        k = min(self.topn, scores.shape[1])
-        top_scores, top_idx = jax.lax.top_k(scores, k)
-        top_labels = jnp.take_along_axis(labels, top_idx, axis=1)
-        top_kernels = jnp.take_along_axis(
-            kernels, top_idx[..., None], axis=1)
+        # ALL (cell, class) pairs above threshold (reference :404-420)
+        p = cate.shape[1]
+        pair_scores = cate.reshape(b, p * num_classes)
+        pair_scores = jnp.where(pair_scores > self.min_score_threshold,
+                                pair_scores, -1.0)
+        pool = min(self.candidate_pool, p * num_classes)
+        cand_scores, cand_idx = jax.lax.top_k(pair_scores, pool)
+        cand_pos = cand_idx // num_classes
+        cand_labels = cand_idx % num_classes
+        cand_kernels = jnp.take_along_axis(kernels, cand_pos[..., None],
+                                           axis=1)
+        cand_strides = cell_strides[cand_pos]
+        valid = cand_scores > 0
 
-        pred_masks = jnp.einsum("bkc,bhwc->bkhw", top_kernels,
-                                mask_feat.astype(jnp.float32),
-                                preferred_element_type=jnp.float32)
-        pred_masks = jax.nn.sigmoid(pred_masks)
-        binary = pred_masks > self.mask_threshold
+        # dynamic-conv soft masks (reference F.conv2d 1x1, :438-445)
+        soft = jax.nn.sigmoid(jnp.einsum(
+            "bkc,bhwc->bkhw", cand_kernels, mask_feat.astype(jnp.float32),
+            preferred_element_type=jnp.float32))
+        binary = soft > self.mask_threshold
         mask_sum = jnp.sum(binary, axis=(2, 3)).astype(jnp.float32)
-        mask_scores = jnp.sum(pred_masks * binary, axis=(2, 3)) / \
-            jnp.clip(mask_sum, 1e-6, None)
-        final_scores = jnp.where((top_scores > 0) & (mask_sum > 0),
-                                 top_scores * mask_scores, 0.0)
 
-        def per_image(bin_masks, lab, sc):
+        # stride filter (reference :448-452: sum_masks > strides)
+        valid = valid & (mask_sum > cand_strides)
+
+        # maskness BEFORE topn (reference :463-467)
+        maskness = jnp.sum(soft * binary, axis=(2, 3)) / \
+            jnp.clip(mask_sum, 1e-6, None)
+        scores2 = jnp.where(valid, cand_scores * maskness, -1.0)
+
+        k = min(self.topn, pool)
+        top_scores, top_i = jax.lax.top_k(scores2, k)
+        top_labels = jnp.take_along_axis(cand_labels, top_i, axis=1)
+        top_soft = jnp.take_along_axis(soft, top_i[:, :, None, None], axis=1)
+        top_binary = jnp.take_along_axis(
+            binary, top_i[:, :, None, None], axis=1)
+
+        keep_thr = max(self.update_threshold, self.keep_score_threshold)
+
+        def per_image(bin_masks, soft_masks, lab, sc):
             updated = matrix_nms(bin_masks, lab, sc, self.nms_sigma)
-            updated = jnp.where(updated > self.keep_instance_threshold,
+            updated = jnp.where((updated >= keep_thr) & (sc > 0),
                                 updated, -1.0)
             out_s, out_i = jax.lax.top_k(updated, self.max_object_num)
-            out_l = jnp.where(out_s > 0, lab[out_i], -1)
-            out_m = jnp.where((out_s > 0)[:, None, None], bin_masks[out_i],
-                              False)
-            return out_m, out_l, out_s
+            ok = out_s > 0
+            out_l = jnp.where(ok, lab[out_i], -1)
+            # reference upsamples the SOFT masks x4 with align_corners=True
+            # and re-thresholds (:532-556)
+            up = resize_bilinear(
+                soft_masks[out_i],
+                (soft_masks.shape[1] * self.upsample,
+                 soft_masks.shape[2] * self.upsample),
+                spatial_axes=(1, 2), align_corners=True)
+            out_m = jnp.where(ok[:, None, None],
+                              up > self.mask_threshold, False)
+            return out_m, out_l, jnp.where(ok, out_s, -1.0)
 
-        return jax.vmap(per_image)(binary, top_labels, final_scores)
+        return jax.vmap(per_image)(top_binary, top_soft, top_labels,
+                                   top_scores)
 
 
 @DECODERS.register()

@@ -78,7 +78,9 @@ def test_solov2_shapes_loss():
     decoder = DECODERS.create("SOLOV2Decoder", grid_nums=(12, 10, 8, 6, 4),
                               topn=50, max_object_num=10)
     masks, labels, scores = decoder((mask_feat, kernel_preds, cate_preds))
-    assert masks.shape == (2, 10, 32, 32)
+    # masks come back x4-upsampled like the reference's final interpolate
+    # (instance_segmentation/decode.py:532-556)
+    assert masks.shape == (2, 10, 128, 128)
     assert scores.shape == (2, 10)
 
 

@@ -176,3 +176,178 @@ def test_semantic_segmentation_loss_parity(name):
     ours = float(ml(jnp.asarray(logits), jnp.asarray(label)))
     assert abs(ours - theirs) < 2e-3 * max(1.0, abs(theirs)), \
         f"{name}: ours {ours} vs reference {theirs}"
+
+
+# ---------------------------------------------------------------- round 4 ---
+# +5 criterion families vs the reference's actual loss code (VERDICT r3 #8)
+
+
+def test_kd_dml_loss_parity():
+    """KD / DML distillation losses (reference
+    simpleAICV/distillation/losses.py:43-91: clamped softmax, batchmean
+    KL x T^2; DML averages both directions)."""
+    ref = ref_module("simpleAICV.distillation.losses")
+    rng = np.random.RandomState(30)
+    stu = rng.randn(8, 100).astype(np.float32) * 3
+    tea = rng.randn(8, 100).astype(np.float32) * 3
+
+    from simpleaicv_tpu.losses.distillation import DMLLoss, KDLoss
+    for name, ref_cls, our_cls in (("KD", ref.KDLoss, KDLoss),
+                                   ("DML", ref.DMLLoss, DMLLoss)):
+        with torch.no_grad():
+            theirs = float(ref_cls(T=4.0 if name == "KD" else 1.0)(
+                torch.from_numpy(stu), torch.from_numpy(tea)))
+        ours = float(our_cls(T=4.0 if name == "KD" else 1.0)(
+            jnp.asarray(stu), jnp.asarray(tea)))
+        assert abs(ours - theirs) < 1e-5 * max(1.0, abs(theirs)), \
+            f"{name}: ours {ours} vs reference {theirs}"
+
+
+def test_ctc_loss_parity():
+    """CTC (reference simpleAICV/text_recognition/losses.py:21-46:
+    log_softmax + torch CTCLoss(reduction='none', zero_infinity=True),
+    per-seq / target_length / batch, summed), with and without the focal
+    weighting branch."""
+    ref = ref_module("simpleAICV.text_recognition.losses")
+    rng = np.random.RandomState(31)
+    b, t, c = 4, 24, 37
+    preds = rng.randn(b, t, c).astype(np.float32)
+    target_lengths = np.array([5, 9, 1, 12], np.int64)
+    targets = np.zeros((b, 12), np.int64)
+    for i, n in enumerate(target_lengths):
+        targets[i, :n] = rng.randint(1, c, n)
+
+    from simpleaicv_tpu.losses.text_recognition import CTCLoss
+    for focal in (False, True):
+        tl = ref.CTCLoss(blank_index=0, use_focal_weight=focal)
+        with torch.no_grad():
+            theirs = float(tl(
+                torch.from_numpy(preds.transpose(1, 0, 2)),  # ref is [T,B,C]
+                torch.from_numpy(targets.astype(np.float32)),
+                torch.full((b,), t, dtype=torch.int64),
+                torch.from_numpy(target_lengths)))
+        ours = float(CTCLoss(blank_index=0, use_focal_weight=focal)(
+            jnp.asarray(preds), jnp.asarray(targets),
+            jnp.asarray(target_lengths)))
+        assert abs(ours - theirs) < 1e-4 * max(1.0, abs(theirs)), \
+            f"focal={focal}: ours {ours} vs reference {theirs}"
+
+
+def test_retinaface_loss_parity():
+    """RetinaFace (reference simpleAICV/face_detection/losses.py:23-212:
+    square face anchors, 1-class sigmoid focal, 0.35/0.35 assignment, CIoU
+    box loss)."""
+    ref = ref_module("simpleAICV.face_detection.losses")
+    seed_all(0)
+    rng = np.random.RandomState(32)
+    hw, b, a = 160, 2, 3
+    sizes = [(hw // s, hw // s) for s in (8, 16, 32)]
+    cls_p = [1.0 / (1.0 + np.exp(-rng.randn(b, fh, fw, a, 1)
+                                 .astype(np.float32))) for fh, fw in sizes]
+    reg_p = [rng.randn(b, fh, fw, a, 4).astype(np.float32) * 0.2
+             for fh, fw in sizes]
+    ann = _annotations(rng, b, 5, hw, 1)  # faces: class 0 only
+
+    tl = ref.RetinaFaceLoss()
+    with torch.no_grad():
+        ld_ref = tl(([torch.from_numpy(p) for p in cls_p],
+                     [torch.from_numpy(p) for p in reg_p]),
+                    torch.from_numpy(ann))
+
+    from simpleaicv_tpu.core.registry import LOSSES
+    ld = LOSSES.create("RetinaFaceLoss")(
+        ([jnp.asarray(p) for p in cls_p], [jnp.asarray(p) for p in reg_p]),
+        jnp.asarray(ann))
+    for k in ("cls_loss", "reg_loss"):
+        ours, theirs = float(ld[k]), float(ld_ref[k])
+        assert abs(ours - theirs) < 1e-3 * max(1.0, abs(theirs)), \
+            f"{k}: ours {ours} vs reference {theirs}"
+
+
+def test_solov2_loss_parity():
+    """SOLOv2 (reference simpleAICV/instance_segmentation/losses.py:561-926:
+    sqrt-area scale routing, sigma center region clamped to coord+-1,
+    last-gt-wins category grid, focal over all (cell,class), dice over
+    positive (cell,gt) pairs). mask_feature_upsample_scale=1 keeps both
+    stacks on the identical gt-mask lattice, pinning every piece of loss
+    math; the x4 collater downscale is covered by the data-pipeline
+    goldens."""
+    ref = ref_module("simpleAICV.instance_segmentation.losses")
+    seed_all(0)
+    rng = np.random.RandomState(33)
+    b, m, h, w, c, kc = 2, 5, 40, 40, 6, 16
+    grids = (12, 10, 8, 6, 4)
+    ranges = ((1, 10), (5, 16), (8, 24), (12, 32), (16, 60))
+
+    mask_feat = rng.randn(b, h, w, kc).astype(np.float32)
+    kernels = [rng.randn(b, g, g, kc).astype(np.float32) * 0.5
+               for g in grids]
+    cates = [rng.randn(b, g, g, c).astype(np.float32) for g in grids]
+
+    ann = -np.ones((b, m, 5), np.float32)
+    gt_masks = np.zeros((b, m, h, w), np.float32)
+    for i in range(b):
+        n = rng.randint(2, m + 1)
+        for j in range(n):
+            x1, y1 = rng.rand(2) * (h * 0.55)
+            bw, bh = rng.rand(2) * (h * 0.4) + 5
+            x2, y2 = min(x1 + bw, w - 1), min(y1 + bh, h - 1)
+            ann[i, j] = [x1, y1, x2, y2, rng.randint(c)]
+            gt_masks[i, j, int(y1):int(y2) + 1, int(x1):int(x2) + 1] = \
+                (rng.rand(int(y2) + 1 - int(y1), int(x2) + 1 - int(x1))
+                 > 0.3).astype(np.float32)
+
+    tl = ref.SOLOV2Loss(scale_ranges=ranges, grid_nums=grids,
+                        mask_feature_upsample_scale=1)
+    with torch.no_grad():
+        ref_boxes = [torch.from_numpy(ann[i][ann[i, :, 4] >= 0])
+                     for i in range(b)]
+        ref_masks = [torch.from_numpy(gt_masks[i][ann[i, :, 4] >= 0])
+                     for i in range(b)]
+        ld_ref = tl((torch.from_numpy(mask_feat.transpose(0, 3, 1, 2)),
+                     [torch.from_numpy(k.transpose(0, 3, 1, 2))
+                      for k in kernels],
+                     [torch.from_numpy(cp.transpose(0, 3, 1, 2))
+                      for cp in cates]),
+                    ref_boxes, ref_masks)
+
+    from simpleaicv_tpu.core.registry import LOSSES
+    ml = LOSSES.create("SOLOV2Loss", scale_ranges=ranges, grid_nums=grids,
+                       mask_feature_upsample_scale=1)
+    ld = ml((jnp.asarray(mask_feat),
+             [jnp.asarray(k) for k in kernels],
+             [jnp.asarray(cp) for cp in cates]),
+            jnp.asarray(ann), jnp.asarray(gt_masks))
+    for k in ("cls_loss", "dice_loss"):
+        ours, theirs = float(ld[k]), float(ld_ref[k])
+        assert abs(ours - theirs) < 1e-3 * max(1.0, abs(theirs)), \
+            f"{k}: ours {ours} vs reference {theirs}"
+
+
+@pytest.mark.parametrize("name", ["SAMMultiLevelLoss",
+                                  "SAMMultiLevelIoUMaxLoss"])
+def test_sam_multilevel_loss_parity(name):
+    """SAM multi-level losses (reference
+    simpleAICV/interactive_segmentation/losses.py:12-244: per-level focal
+    on bce-with-logits, global-over-batch dice, binary-IoU MSE; the IoUMax
+    variant trains only the best-IoU level)."""
+    ref = ref_module("simpleAICV.interactive_segmentation.losses")
+    rng = np.random.RandomState(34)
+    b, k, h, w = 3, 4, 64, 64
+    pred_masks = rng.randn(b, k, h, w).astype(np.float32) * 2
+    pred_ious = rng.rand(b, k).astype(np.float32)
+    targets = (rng.rand(b, 1, h, w) > 0.6).astype(np.float32)
+
+    tl = getattr(ref, name)()
+    with torch.no_grad():
+        ld_ref = tl((torch.from_numpy(pred_masks),
+                     torch.from_numpy(pred_ious)),
+                    torch.from_numpy(targets))
+
+    from simpleaicv_tpu.core.registry import LOSSES
+    ld = LOSSES.create(name)((jnp.asarray(pred_masks),
+                              jnp.asarray(pred_ious)), jnp.asarray(targets))
+    for key in ("focal_loss", "dice_loss", "iou_predict_loss"):
+        ours, theirs = float(ld[key]), float(ld_ref[key])
+        assert abs(ours - theirs) < 1e-4 * max(1.0, abs(theirs)), \
+            f"{name}/{key}: ours {ours} vs reference {theirs}"
