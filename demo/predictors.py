@@ -123,7 +123,11 @@ class SemanticSegmentationPredictor:
 
 
 class SAMPredictor:
-    """Parity: gradio_demo SAM apps — point/box prompted mask prediction."""
+    """Parity: gradio_demo SAM apps — point-prompted
+    (13.1.gradio_segment_anything_single_image.py) and circle-target
+    box-prompted (13.2.gradio_segment_anything_circle_target_single_image.py:
+    the drawn region's cv2.boundingRect becomes a box prompt) mask
+    prediction."""
 
     def __init__(self, network="sam_b", image_size=1024,
                  trained_model_path="", **model_kwargs):
@@ -151,6 +155,17 @@ class SAMPredictor:
 
         self._forward = jax.jit(fwd)
 
+        def fwd_box(v, x, box):
+            pr = {"prompt_point": None, "prompt_box": box,
+                  "prompt_mask": None}
+            masks, ious = self.model.apply(v, x, pr, (0, 1, 2, 3), False)
+            best = jnp.argmax(ious, -1)
+            return jnp.take_along_axis(
+                masks, best[:, None, None, None].repeat(
+                    masks.shape[2], 2).repeat(masks.shape[3], 3), 1)[:, 0]
+
+        self._forward_box = jax.jit(fwd_box)
+
     def __call__(self, image_rgb: np.ndarray, points_xy):
         h, w = image_rgb.shape[:2]
         s = self.image_size
@@ -167,6 +182,35 @@ class SAMPredictor:
                                         jnp.asarray(pts)))[0]
         mask = (mask > 0).astype(np.uint8)[:nh, :nw]
         return cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)
+
+    def predict_box(self, image_rgb: np.ndarray, box_xyxy):
+        """Box prompt in image coordinates (the circle-target flow:
+        reference 13.2 computes cv2.boundingRect of the user's drawn
+        region and prompts with that box)."""
+        h, w = image_rgb.shape[:2]
+        s = self.image_size
+        factor = s / max(h, w)
+        nh, nw = int(round(h * factor)), int(round(w * factor))
+        canvas = np.zeros((s, s, 3), np.float32)
+        canvas[:nh, :nw] = cv2.resize(image_rgb.astype(np.float32),
+                                      (nw, nh)) / 255.0
+        x1, y1, x2, y2 = [float(v) * factor for v in box_xyxy]
+        box = np.asarray([[x1, y1, x2, y2]], np.float32)
+        mask = np.asarray(self._forward_box(self.variables,
+                                            jnp.asarray(canvas[None]),
+                                            jnp.asarray(box)))[0]
+        mask = (mask > 0).astype(np.uint8)[:nh, :nw]
+        return cv2.resize(mask, (w, h), interpolation=cv2.INTER_NEAREST)
+
+    def predict_region(self, image_rgb: np.ndarray, region_mask: np.ndarray):
+        """Drawn-region prompt: bounding rect of the nonzero region becomes
+        the box prompt (reference 13.2:86-99)."""
+        m = np.asarray(region_mask)
+        if m.ndim == 3:
+            m = cv2.cvtColor(m.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        m = (m > 0).astype(np.uint8)
+        x, y, bw, bh = cv2.boundingRect(m)
+        return self.predict_box(image_rgb, (x, y, x + bw, y + bh))
 
 
 class InstanceSegmentationPredictor:

@@ -188,7 +188,17 @@ def _build_sam(**kw):
     p = SAMPredictor(**kw)
 
     def run(img, query):
+        # ?box=x1,y1,x2,y2 — circle-target flow (reference gradio 13.2:
+        # the drawn region's bounding rect as a box prompt); otherwise
         # ?points=x,y;x,y — image-coordinate click prompts (<=9)
+        rawbox = query.get("box", "")
+        if rawbox.count(",") == 3:
+            box = [float(v) for v in rawbox.split(",")]
+            mask = p.predict_box(img, box)
+            if query.get("format") == "png":
+                return _png(mask * 255)
+            return {"mask_shape": list(mask.shape),
+                    "mask_pixels": int(mask.sum()), "box": box}
         raw = query.get("points", "")
         pts = []
         for tok in raw.split(";"):

@@ -178,6 +178,16 @@ def test_sam_point_prompt_endpoint():
         with urllib.request.urlopen(req) as r:
             assert r.headers["Content-Type"] == "image/png"
             assert r.read()[:8] == b"\x89PNG\r\n\x1a\n"
+        # circle-target flow (reference gradio 13.2): box prompt from the
+        # drawn region's bounding rect
+        req = urllib.request.Request(
+            base + "/predict/interactive_segmentation?box=8,10,36,40",
+            data=body)
+        with urllib.request.urlopen(req) as r:
+            out = json.loads(r.read())
+        assert out["box"] == [8.0, 10.0, 36.0, 40.0]
+        assert out["mask_shape"] == [48, 48]
+        assert 0 <= out["mask_pixels"] <= 48 * 48
     finally:
         httpd.shutdown()
 
