@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..core.registry import LOSSES
 
 __all__ = ["SAMMultiLevelLoss", "SAMMultiLevelIoUMaxLoss",
+           "SAMMultiLevelAssignLoss",
            "SAMDistillMSELoss", "SAMDistillLoss"]
 
 
@@ -115,6 +116,74 @@ class SAMMultiLevelIoUMaxLoss(SAMMultiLevelLoss):
             "focal_loss": self.focal_loss_weight * focal,
             "dice_loss": self.dice_loss_weight * dice,
             "iou_predict_loss": self.iou_predict_loss_weight * iou_mse,
+        }
+
+
+@LOSSES.register()
+class SAMMultiLevelAssignLoss(SAMMultiLevelLoss):
+    """Area-ratio level ASSIGNMENT (reference :244-458): each sample's
+    gt-area ratio selects which mask levels train (strict open ranges,
+    multiple levels may hit), per-sample mean over its valid levels,
+    batch-mean over samples with >=1 valid level; dice runs per sample
+    (not global-over-batch like the base loss). Vectorized fixed-shape
+    equivalent of the reference's per-sample python loops."""
+
+    def __init__(self, alpha=0.8, gamma=2.0, smooth=1e-4,
+                 focal_loss_weight=20.0, dice_loss_weight=1.0,
+                 iou_predict_loss_weight=1.0, mask_threshold=0.0,
+                 idx_nums=4,
+                 area_ranges=((0.04, 0.64), (0.0, 0.04), (0.01, 0.25),
+                              (0.16, 1.0))):
+        super().__init__(alpha, gamma, smooth, focal_loss_weight,
+                         dice_loss_weight, iou_predict_loss_weight,
+                         mask_threshold)
+        assert len(area_ranges) == idx_nums
+        self.idx_nums = idx_nums
+        self.area_ranges = tuple(tuple(r) for r in area_ranges)
+
+    def __call__(self, inputs, targets):
+        pred_masks, pred_ious = inputs
+        b, k = pred_masks.shape[:2]
+        assert k == self.idx_nums
+        t = targets.reshape(b, -1).astype(jnp.float32)       # [B,HW]
+        logits = pred_masks.reshape(b, k, -1).astype(jnp.float32)
+
+        ratio = jnp.sum(t, 1) / t.shape[1]                   # [B]
+        lo = jnp.asarray([r[0] for r in self.area_ranges])
+        hi = jnp.asarray([r[1] for r in self.area_ranges])
+        valid = ((lo[None] < ratio[:, None])
+                 & (ratio[:, None] < hi[None]))               # [B,K]
+        n_valid = jnp.sum(valid, 1).astype(jnp.float32)      # [B]
+        has = n_valid > 0
+        n_has = jnp.clip(jnp.sum(has.astype(jnp.float32)), 1.0, None)
+
+        def batch_mean(per_bi):                              # [B,K] -> scalar
+            per_sample = (jnp.sum(jnp.where(valid, per_bi, 0.0), 1)
+                          / jnp.clip(n_valid, 1.0, None))
+            return jnp.sum(jnp.where(has, per_sample, 0.0)) / n_has
+
+        bce = (jnp.maximum(logits, 0) - logits * t[:, None]
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        focal = batch_mean(jnp.mean(
+            self.alpha * (1.0 - jnp.exp(-bce))**self.gamma * bce, axis=2))
+
+        p = jax.nn.sigmoid(logits)
+        inter = jnp.sum(p * t[:, None], axis=2)              # [B,K]
+        dice = batch_mean(1.0 - (2 * inter + self.smooth) / (
+            jnp.sum(p, 2) + jnp.sum(t, 1)[:, None] + self.smooth))
+
+        binary = (logits >= self.mask_threshold).astype(jnp.float32)
+        bin_inter = jnp.sum(binary * t[:, None], axis=2)
+        iou_gt = (bin_inter + self.smooth) / (
+            jnp.sum(binary, 2) + jnp.sum(t, 1)[:, None] - bin_inter +
+            self.smooth)
+        iou_sq = (pred_ious.astype(jnp.float32) - iou_gt)**2
+        iou = batch_mean(iou_sq)
+
+        return {
+            "focal_loss": self.focal_loss_weight * focal,
+            "dice_loss": self.dice_loss_weight * dice,
+            "iou_predict_loss": self.iou_predict_loss_weight * iou,
         }
 
 

@@ -181,10 +181,15 @@ class YOLACTLoss:
             crop = ((cols >= x1[:, None, None]) & (cols < x2[:, None, None]) &
                     (rows >= y1[:, None, None]) & (rows < y2[:, None, None]))
             pred = jnp.where(crop, pred, 1e-4)
-            gm = gmask.astype(jnp.float32) * crop
+            # the reference does NOT crop the gt mask (losses.py:270-293):
+            # gt pixels outside the (padded) box are penalized at pred=1e-4
+            gm = gmask.astype(jnp.float32)
             bce = -(gm * jnp.log(pred) + (1 - gm) * jnp.log(1 - pred))
-            area = jnp.clip((gbox[:, 2] - gbox[:, 0]) * hp *
-                            (gbox[:, 3] - gbox[:, 1]) * wp, 1.0, None)
+            # normalized by the matched gt box area in RELATIVE units
+            # (losses.py:296-301; the hp*wp factor lives in the outer
+            # denominator only — round-4 parity fix, was divided twice)
+            area = jnp.clip((gbox[:, 2] - gbox[:, 0]) *
+                            (gbox[:, 3] - gbox[:, 1]), 1e-8, None)
             per = jnp.sum(bce, axis=(1, 2)) / area
             return jnp.sum(per * valid)
 

@@ -351,3 +351,102 @@ def test_sam_multilevel_loss_parity(name):
         ours, theirs = float(ld[key]), float(ld_ref[key])
         assert abs(ours - theirs) < 1e-4 * max(1.0, abs(theirs)), \
             f"{name}/{key}: ours {ours} vs reference {theirs}"
+
+
+def test_sam_multilevel_assign_loss_parity():
+    """SAMMultiLevelAssignLoss (reference :244-458): the sample's gt-area
+    ratio selects which mask levels train (strict open ranges, several can
+    hit), per-sample mean over valid levels, batch-mean over samples with
+    any valid level."""
+    ref = ref_module("simpleAICV.interactive_segmentation.losses")
+    rng = np.random.RandomState(35)
+    b, k, h, w = 4, 4, 64, 64
+    pred_masks = rng.randn(b, k, h, w).astype(np.float32) * 2
+    pred_ious = rng.rand(b, k).astype(np.float32)
+    # area ratios spread across the overlapping default ranges, including
+    # one sample with NO valid range (ratio ~0.9 > every upper bound except
+    # (0.16,1.0)) and one tiny-area sample
+    targets = np.zeros((b, 1, h, w), np.float32)
+    targets[0, 0, :20, :20] = 1.0      # ratio ~0.098 -> ranges 1,2
+    targets[1, 0, :8, :8] = 1.0        # ratio ~0.016 -> ranges 1 only
+    targets[2, 0, :48, :48] = 1.0      # ratio ~0.56  -> ranges 0,2? (<0.64)
+    targets[3, 0, :2, :2] = 1.0        # ratio ~0.001 -> range 1
+
+    tl = ref.SAMMultiLevelAssignLoss()
+    with torch.no_grad():
+        ld_ref = tl((torch.from_numpy(pred_masks),
+                     torch.from_numpy(pred_ious)),
+                    torch.from_numpy(targets))
+
+    from simpleaicv_tpu.core.registry import LOSSES
+    ld = LOSSES.create("SAMMultiLevelAssignLoss")(
+        (jnp.asarray(pred_masks), jnp.asarray(pred_ious)),
+        jnp.asarray(targets))
+    for key in ("focal_loss", "dice_loss", "iou_predict_loss"):
+        ours, theirs = float(ld[key]), float(ld_ref[key])
+        assert abs(ours - theirs) < 1e-4 * max(1.0, abs(theirs)), \
+            f"{key}: ours {ours} vs reference {theirs}"
+
+
+def test_yolact_loss_parity():
+    """YOLACT loss (reference instance_segmentation/losses.py:22-336:
+    SSD-style anchor match, OHEM 3:1 softmax cls, smooth-L1 box, box-cropped
+    BCE mask loss normalized by gt box area, semantic seg loss). gt masks
+    are 4x4-block-constant so the reference's internal bilinear downscale
+    to proto resolution is exact."""
+    ref = ref_module("simpleAICV.instance_segmentation.losses")
+    seed_all(0)
+    rng = np.random.RandomState(36)
+    b, m, hp, c = 2, 6, 32, 6            # proto 32x32 -> resize 128
+    resize = hp * 4
+    sizes = [(resize // s, resize // s) for s in (8, 16, 32, 64, 128)]
+    na = 3
+    class_preds = [rng.randn(b, fh, fw, na, c + 1).astype(np.float32)
+                   for fh, fw in sizes]
+    box_preds = [(rng.randn(b, fh, fw, na, 4) * 0.2).astype(np.float32)
+                 for fh, fw in sizes]
+    coef_preds = [rng.randn(b, fh, fw, na, 8).astype(np.float32)
+                  for fh, fw in sizes]
+    proto = rng.randn(b, hp, hp, 8).astype(np.float32)
+    segp = rng.randn(b, resize // 8, resize // 8, c).astype(np.float32)
+
+    ann = -np.ones((b, m, 5), np.float32)
+    gt_proto = np.zeros((b, m, hp, hp), np.float32)
+    for i in range(b):
+        n = rng.randint(2, m + 1)
+        for j in range(n):
+            x1, y1 = rng.rand(2) * 0.5
+            bw, bh = rng.rand(2) * 0.4 + 0.1
+            x2, y2 = min(x1 + bw, 0.99), min(y1 + bh, 0.99)
+            ann[i, j] = [x1, y1, x2, y2, rng.randint(c)]
+            # rects aligned to 2x2 proto blocks so BOTH stacks' downscale
+            # to seg resolution binarizes identically (ours: 2x2 max-pool
+            # of proto masks; reference: bilinear from input res + >0.5)
+            px1, py1 = 2 * (int(x1 * hp) // 2), 2 * (int(y1 * hp) // 2)
+            px2 = min(2 * ((int(x2 * hp) + 2) // 2), hp)
+            py2 = min(2 * ((int(y2 * hp) + 2) // 2), hp)
+            gt_proto[i, j, py1:py2, px1:px2] = 1.0
+
+    preds_t = ([torch.from_numpy(p) for p in class_preds],
+               [torch.from_numpy(p) for p in box_preds],
+               [torch.from_numpy(p) for p in coef_preds],
+               torch.from_numpy(proto),
+               torch.from_numpy(segp.transpose(0, 3, 1, 2)))  # ref is NCHW
+    ref_boxes = [torch.from_numpy(ann[i][ann[i, :, 4] >= 0])
+                 for i in range(b)]
+    ref_masks = [torch.from_numpy(np.kron(
+        gt_proto[i][ann[i, :, 4] >= 0],
+        np.ones((4, 4), np.float32))) for i in range(b)]
+    tl = ref.YOLACTLoss(resize=resize)
+    with torch.no_grad():
+        ld_ref = tl(preds_t, ref_boxes, ref_masks)
+
+    from simpleaicv_tpu.core.registry import LOSSES
+    ml = LOSSES.create("YOLACTLoss", resize=resize)
+    ld = ml((class_preds, box_preds, coef_preds, jnp.asarray(proto),
+             jnp.asarray(segp)), jnp.asarray(ann), jnp.asarray(gt_proto))
+    for key, tol in (("cls_loss", 1e-3), ("box_loss", 1e-3),
+                     ("mask_loss", 1e-3), ("segmantic_seg_loss", 1e-3)):
+        ours, theirs = float(ld[key]), float(ld_ref[key])
+        assert abs(ours - theirs) < tol * max(1.0, abs(theirs)), \
+            f"{key}: ours {ours} vs reference {theirs}"
