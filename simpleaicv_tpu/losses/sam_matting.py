@@ -164,6 +164,12 @@ class _Terms:
         # per-sample alpha area ratios for AssignLoss gating
         self.area_ratio = jnp.sum((alpha > 0).astype(jnp.float32),
                                   axis=(1, 2)) / float(h * w)
+        # the reference's local_laplacian_loss multiplies alpha by the
+        # trimap==128 weight BEFORE computing its gating ratio
+        # (losses_matting.py:1253-1278) — the only Assign term that does
+        self.area_ratio_weighted = jnp.sum(
+            ((alpha > 0) & (wmask[:, 0] > 0)).astype(jnp.float32),
+            axis=(1, 2)) / float(h * w)
         # iou-predict gating uses the THRESHOLDED alpha sum (:1589-1594)
         self.area_ratio_thresh = jnp.sum(abin[:, 0], axis=(1, 2)) / float(h * w)
 
@@ -313,7 +319,8 @@ class SAMMattingMultiLevelAssignLoss(_SAMMattingLossBase):
             ce=self._masked_reduce(t.ce, r),
             iou=self._masked_reduce(t.iou, r),
             local_alpha=self._masked_reduce(local_alpha, r),
-            local_lap=self._masked_reduce(t.lap_local, r),
+            local_lap=self._masked_reduce(t.lap_local,
+                                          t.area_ratio_weighted),
             fusion_alpha=self._masked_reduce(t.fusion_alpha, r),
             fusion_lap=self._masked_reduce(t.lap_fused, r),
             comp=self._masked_reduce(t.comp, r),

@@ -450,3 +450,60 @@ def test_yolact_loss_parity():
         ours, theirs = float(ld[key]), float(ld_ref[key])
         assert abs(ours - theirs) < tol * max(1.0, abs(theirs)), \
             f"{key}: ours {ours} vs reference {theirs}"
+
+
+@pytest.mark.parametrize("name,multi", [
+    ("SAMMattingOneLevelLoss", False),
+    ("SAMMattingMultiLevelLoss", True),
+    ("SAMMattingMultiLevelIoUMaxLoss", True),
+    ("SAMMattingMultiLevelAssignLoss", True),
+])
+def test_sam_matting_loss_parity(name, multi):
+    """The four SAM-matting loss stacks vs the reference's ACTUAL criteria
+    (reference interactive_segmentation/losses_matting.py:18/299/609/922:
+    trimap CE + channel-IoU, charbonnier local/fusion alpha, laplacian
+    pyramids, composition, fused-IoU MSE; IoUMax picks the per-sample best
+    fused level, Assign gates levels by alpha-area ratio)."""
+    ref = ref_module(
+        "simpleAICV.interactive_segmentation.losses_matting")
+    rng = np.random.RandomState(37)
+    b, L, h, w = 2, 4, 64, 64
+    lvl = (L,) if multi else ()
+    g = rng.rand(b, *lvl, h, w, 3).astype(np.float32)
+    l = rng.rand(b, *lvl, h, w, 1).astype(np.float32)
+    f = rng.rand(b, *lvl, h, w, 1).astype(np.float32)
+    iou_p = rng.rand(b, *(lvl or (1,))).astype(np.float32)
+    images = rng.rand(b, h, w, 3).astype(np.float32)
+    alpha = np.zeros((b, h, w), np.float32)
+    alpha[0, 8:40, 8:40] = rng.rand(32, 32).astype(np.float32)  # ~25% area
+    alpha[1, 20:30, 20:30] = 1.0                                # ~2.4% area
+    trimap = np.zeros((b, h, w), np.float32)
+    trimap[alpha > 0.6] = 255
+    trimap[(alpha > 0.1) & (alpha <= 0.6)] = 128
+    fg = rng.rand(b, h, w, 3).astype(np.float32)
+    bg = rng.rand(b, h, w, 3).astype(np.float32)
+
+    def nchw(x):  # [...,(h,w),c] -> [...,c,(h,w)]
+        return torch.from_numpy(np.moveaxis(x, -1, -3).copy())
+
+    tl = getattr(ref, name)()
+    with torch.no_grad():
+        ld_ref = tl(nchw(images),
+                    (nchw(g), nchw(l), nchw(f), torch.from_numpy(iou_p)),
+                    (torch.from_numpy(alpha[:, None]),
+                     torch.from_numpy(trimap), nchw(fg), nchw(bg)))
+
+    from simpleaicv_tpu.core.registry import LOSSES
+    ld = LOSSES.create(name)(
+        jnp.asarray(images),
+        (jnp.asarray(g), jnp.asarray(l), jnp.asarray(f),
+         jnp.asarray(iou_p if multi else iou_p[:, 0])),
+        (jnp.asarray(alpha), jnp.asarray(trimap), jnp.asarray(fg),
+         jnp.asarray(bg)))
+    for key in ("global_pred_trimap_ce_loss", "gloabel_pred_trimap_iou_loss",
+                "local_pred_alpha_loss", "local_pred_laplacian_loss",
+                "fusion_pred_alpha_loss", "fusion_pred_laplacian_loss",
+                "composition_loss", "fused_pred_iou_predict_loss"):
+        ours, theirs = float(ld[key]), float(ld_ref[key])
+        assert abs(ours - theirs) < 2e-3 * max(1.0, abs(theirs)), \
+            f"{name}/{key}: ours {ours} vs reference {theirs}"

@@ -259,9 +259,14 @@ def test_assign_golden():
 
     ratio = (talpha > 0).float().flatten(1).mean(1)
     ratio_thr = (talpha >= 0.5).float().flatten(1).mean(1)
+    # the reference's local_laplacian_loss gates by the WEIGHTED alpha's
+    # area (alpha * [trimap==128] > 0, losses_matting.py:1253-1278) — the
+    # only Assign term that does; caught by the true-reference parity test
+    ratio_wm = ((talpha > 0) & (ttrimap == 128)).float().flatten(1).mean(1)
 
-    def masked(fn, use_thresh_ratio=False):
-        rr = ratio_thr if use_thresh_ratio else ratio
+    def masked(fn, use_thresh_ratio=False, use_weighted_ratio=False):
+        rr = (ratio_thr if use_thresh_ratio
+              else ratio_wm if use_weighted_ratio else ratio)
         total, valid_b = 0.0, 0.0
         for i in range(B):
             s, n = 0.0, 0
@@ -322,7 +327,8 @@ def test_assign_golden():
         return F.mse_loss(tiou[i, j], iou_gt, reduction="sum")
 
     ref = dict(ce=masked(ce_ij), iou=masked(iou_ij), local_alpha=masked(la_ij),
-               local_lap=masked(lap_ij), fusion_alpha=masked(fa_ij),
+               local_lap=masked(lap_ij, use_weighted_ratio=True),
+               fusion_alpha=masked(fa_ij),
                fusion_lap=masked(flap_ij), comp=masked(comp_ij),
                iou_pred=masked(ioup_ij, use_thresh_ratio=True))
     assert_close(got, ref)
