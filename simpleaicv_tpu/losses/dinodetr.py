@@ -119,8 +119,11 @@ class DINODETRLoss:
         loss_dict = {}
         aux_cls = preds["aux_pred_logits"]
         aux_reg = preds["aux_pred_boxes"]
-        matched = self._match(aux_cls[-1], aux_reg[-1], annotations)
         for layer in range(aux_cls.shape[0]):
+            # the reference re-runs Hungarian matching for EVERY aux layer
+            # (losses.py:1190-1205), not just the last — round-4 parity fix
+            matched = self._match(aux_cls[layer], aux_reg[layer],
+                                  annotations)
             c, l1, g = self._losses_for(aux_cls[layer], aux_reg[layer],
                                         annotations, matched, total_targets)
             tag = "" if layer == aux_cls.shape[0] - 1 else f"layer_{layer}_"

@@ -507,3 +507,68 @@ def test_sam_matting_loss_parity(name, multi):
         ours, theirs = float(ld[key]), float(ld_ref[key])
         assert abs(ours - theirs) < 2e-3 * max(1.0, abs(theirs)), \
             f"{name}/{key}: ours {ours} vs reference {theirs}"
+
+
+def test_dinodetr_loss_parity():
+    """DINO-DETR criterion (reference detection/losses.py:1084-1405:
+    focal-cost Hungarian matching re-run for EVERY aux layer, sigmoid focal
+    cls normalized by total gt count, L1 + GIoU box losses, interm/encoder
+    head with its own matching). DN branch excluded here — its slot layout
+    is model-internal and is pinned by the full-forward DINO-DETR parity
+    test; the non-DN criterion is what every layer shares."""
+    ref = ref_module("simpleAICV.detection.losses")
+    seed_all(0)
+    rng = np.random.RandomState(38)
+    b, q, c, L = 2, 40, 11, 3  # 2 aux layers + last
+
+    cls_layers = (rng.randn(L, b, q, c) * 1.5 - 2.0).astype(np.float32)
+    box_layers = np.clip(rng.rand(L, b, q, 4) * 0.6 + 0.2, 1e-3,
+                         1 - 1e-3).astype(np.float32)
+    interm_cls = (rng.randn(b, q, c) * 1.5 - 2.0).astype(np.float32)
+    interm_box = np.clip(rng.rand(b, q, 4) * 0.6 + 0.2, 1e-3,
+                         1 - 1e-3).astype(np.float32)
+    ann = -np.ones((b, 7, 5), np.float32)
+    for i in range(b):
+        n = rng.randint(2, 8)
+        for j in range(n):
+            cx, cy = rng.rand(2) * 0.6 + 0.2
+            w, h = rng.rand(2) * 0.25 + 0.05
+            ann[i, j] = [cx, cy, w, h, rng.randint(c)]
+
+    ref_preds = {
+        "pred_logits": torch.from_numpy(cls_layers[-1]),
+        "pred_boxes": torch.from_numpy(box_layers[-1]),
+        "aux_outputs": [
+            {"pred_logits": torch.from_numpy(cls_layers[i]),
+             "pred_boxes": torch.from_numpy(box_layers[i])}
+            for i in range(L - 1)],
+        "interm_outputs": {
+            "pred_logits": torch.from_numpy(interm_cls),
+            "pred_boxes": torch.from_numpy(interm_box)},
+        "dn_meta": None,
+    }
+    tl = ref.DINODETRLoss(num_classes=c)
+    with torch.no_grad():
+        ld_ref = tl(ref_preds, torch.from_numpy(ann))
+
+    from simpleaicv_tpu.core.registry import LOSSES
+    ml = LOSSES.create("DINODETRLoss", num_classes=c)
+    ld = ml({"aux_pred_logits": jnp.asarray(cls_layers),
+             "aux_pred_boxes": jnp.asarray(box_layers),
+             "interm_pred_logits": jnp.asarray(interm_cls),
+             "interm_pred_boxes": jnp.asarray(interm_box)},
+            jnp.asarray(ann))
+
+    pairs = [("cls_loss", "cls_loss"), ("box_l1_loss", "box_l1_loss"),
+             ("box_iou_loss", "box_iou_loss"),
+             ("interm_cls_loss", "cls_loss_interm"),
+             ("interm_box_l1_loss", "box_l1_loss_interm"),
+             ("interm_box_iou_loss", "box_iou_loss_interm")]
+    for i in range(L - 1):
+        pairs += [(f"layer_{i}_cls_loss", f"cls_loss_aux_layer_{i}"),
+                  (f"layer_{i}_box_l1_loss", f"box_l1_loss_aux_layer_{i}"),
+                  (f"layer_{i}_box_iou_loss", f"box_iou_loss_aux_layer_{i}")]
+    for ours_k, ref_k in pairs:
+        ours, theirs = float(ld[ours_k]), float(ld_ref[ref_k])
+        assert abs(ours - theirs) < 1e-3 * max(1.0, abs(theirs)), \
+            f"{ours_k}: ours {ours} vs reference {theirs}"
