@@ -166,12 +166,16 @@ def bench_fcos_800(steps=30, batch=8, image=800):
     return out
 
 
-def bench_sam_b_1024(steps=10, batch=1, image=1024, use_flash=False):
+def bench_sam_b_1024(steps=10, batch=1, image=1024, use_flash=False,
+                     variant="b", remat=False):
     from simpleaicv_tpu.core.registry import LOSSES
-    from simpleaicv_tpu.models.interactive_segmentation.sam import sam_b
+    from simpleaicv_tpu.models.interactive_segmentation.sam import (sam_b,
+                                                                    sam_h)
     from simpleaicv_tpu.tasks.interactive_segmentation import make_loss_fn
 
-    model = sam_b(image_size=image, use_flash_attention=use_flash)
+    build = sam_h if variant == "h" else sam_b
+    model = build(image_size=image, use_flash_attention=use_flash,
+                  use_gradient_checkpoint=remat)
     rng_np = np.random.RandomState(0)
     pts = np.zeros((batch, 1, 3), np.float32)
     pts[:, :, :2] = rng_np.rand(batch, 1, 2) * image
@@ -463,12 +467,31 @@ ALL = {
     # einsum path (expected loser per perf/pallas_bw_probe.py ~300GB/s cap)
     "sam_b_1024_train_step_flash":
         lambda: bench_sam_b_1024(use_flash=True),
+    # VERDICT r3 #5: SAM at a real batch (MFU is meaningless at b=1) and
+    # the reference flagship SAM-H (remat on: ViT-H @1024 training
+    # activations exceed one chip's HBM otherwise)
+    "sam_b_1024_train_step_b4_flash":
+        lambda: bench_sam_b_1024(steps=6, batch=4, use_flash=True),
+    "sam_b_1024_train_step_b8_flash":
+        lambda: bench_sam_b_1024(steps=4, batch=8, use_flash=True),
+    "sam_h_1024_train_step_flash":
+        lambda: bench_sam_b_1024(steps=4, batch=1, use_flash=True,
+                                 variant="h", remat=True),
     "batched_nms_1000x80_device_time": bench_nms_p50,
     "input_pipeline_stall": bench_input_pipeline,
     # MoE routing overhead on one chip (experts local): dense small ViT vs
     # the 8-expert top-2 MoE variant at the SAME 197-token count (patch14 @
     # 196² == patch16 @ 224²) — the delta is the one-hot dispatch/combine
     # einsum cost (parallel/moe.py)
+    # VERDICT r3 #4: ViT-B MFU levers — flash attention at 197 tokens,
+    # batch 256 (more rows per matmul tile)
+    "vit_b16_224_train_flash":
+        lambda: bench_vit_b16(use_flash_attention=True),
+    "vit_b16_224_train_b256":
+        lambda: bench_vit_b16(steps=25, batch=256),
+    "vit_b16_224_train_b256_flash":
+        lambda: bench_vit_b16(steps=25, batch=256,
+                              use_flash_attention=True),
     "vit_s_197tok_train":
         lambda: bench_vit_b16(network="vit_small_patch14", image=196),
     "vit_moe_s_197tok_train":
