@@ -454,6 +454,23 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
             round(target / jpeg_rate, 2) if jpeg_rate else None,
     }
 
+    # host->device TRANSFER attribution: on the axon relay the uint8 batch
+    # upload (batch*image^2*3 bytes over loopback HTTP) — not host decode —
+    # is the residual stall of the cached path. Measure put bandwidth on
+    # the same-size buffer.
+    buf = np.random.RandomState(3).randint(0, 256,
+                                           (batch, image, image, 3),
+                                           np.uint8)
+    jax.device_put(buf).block_until_ready()          # warm
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        d = jax.device_put(buf)
+    float(jnp.sum(d[0, 0, 0]))                       # hard barrier
+    t_put = (time.perf_counter() - t0) / reps
+    out["h2d_transfer_ms_per_batch"] = round(t_put * 1000, 2)
+    out["h2d_bandwidth_mb_s"] = round(buf.nbytes / t_put / 1e6, 1)
+
     out.update({"value": out["cached_stall_pct"], "unit": "%"})
     return out
 
@@ -473,7 +490,11 @@ ALL = {
     "sam_b_1024_train_step_b4_flash":
         lambda: bench_sam_b_1024(steps=6, batch=4, use_flash=True),
     "sam_b_1024_train_step_b8_flash":
-        lambda: bench_sam_b_1024(steps=4, batch=8, use_flash=True),
+        # remat on: the b8 graph crashed the remote compile helper
+        # (HTTP 500) without it — activations exceed what the compiler
+        # will schedule at 1024^2 x 8
+        lambda: bench_sam_b_1024(steps=4, batch=8, use_flash=True,
+                                 remat=True),
     "sam_h_1024_train_step_flash":
         lambda: bench_sam_b_1024(steps=4, batch=1, use_flash=True,
                                  variant="h", remat=True),

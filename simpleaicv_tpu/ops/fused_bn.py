@@ -15,17 +15,21 @@ into several passes. This implementation pins the pass structure explicitly:
 
 Numerics: f32 statistics, biased variance, computed with a SHIFTED
 single-pass reduction — ``var = E[(x-c)^2] - E[x-c]^2`` with the shift ``c``
-taken as the per-channel mean of sample 0 (a 1/N-cost reduce). The naive
-``E[x^2] - E[x]^2`` (which flax.linen.BatchNorm uses) catastrophically
-cancels in f32 when a channel's |mean| >> std: the round-4 trainer-dynamics
-parity harness measured it compounding to a 3.5%-of-logit-scale train-mode
-forward error through ResNet18's 18 stacked BNs (torch f32 was 1.2e-6 from
-an f64 oracle; the unshifted JAX path was 2.9e-2). With the shift, the
-cancellation ratio drops to ~1 and both stacks agree with the f64 oracle.
-Equivalence with flax BN on benign data is tested in tests/test_fused_bn.py.
+taken as the RUNNING mean (already a variable: zero extra reduces, zero
+extra passes, and the algebra is exact for ANY c). The naive
+``E[x^2] - E[x]^2`` (which flax.linen.BatchNorm uses) cancels in f32 when a
+channel's |mean| >> std; once training is underway the running mean tracks
+the batch mean, so the cancellation ratio stays ~1 exactly where long runs
+live. A data-dependent shift (per-batch sample-0 mean) was measured to cost
+19% of the ResNet-50 step on v5e — the dependent pre-reduce splits XLA's
+conv+reduce fusion — and was reverted in favour of this free one.
+Equivalence with flax BN is tested in tests/test_fused_bn.py; train-mode
+trajectory equality vs torch in tests/test_reference_train_parity.py.
 Parity target: the reference's per-task ``nn.BatchNorm2d`` usage (e.g.
 reference simpleAICV/classification/backbones/resnet.py:19-47
-ConvBnActBlock), whose torch kernel uses numerically stable variance.
+ConvBnActBlock). The running VARIANCE blends the UNBIASED batch variance
+(torch ATen semantics, n/(n-1)) so reference-trained and repo-trained
+checkpoints are eval-compatible.
 
 The module below, :class:`FusedBatchNorm`, is variable-compatible with
 ``flax.linen.BatchNorm`` (same ``batch_stats``/``params`` collections and
@@ -41,15 +45,17 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def bn_train(x, gamma, beta, eps):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def bn_train(x, gamma, beta, shift, eps):
     """Train-mode BN of an NHWC tensor. Returns (y, mean, var).
 
+    ``shift`` is a per-channel f32 constant for the numerically shifted
+    statistics (the running mean; stop-gradient, non-differentiated).
     mean/var are the biased batch statistics (f32); their cotangents are
     ignored in the backward pass — they exist to feed the (stop-gradient)
     running-average update without a second reduce pass over x.
     """
-    y, (mean, var, _) = _bn_train_fwd_impl(x, gamma, beta, eps)
+    y, (mean, var, _) = _bn_train_fwd_impl(x, gamma, beta, shift, eps)
     return y, mean, var
 
 
@@ -67,16 +73,14 @@ def set_stats_barrier(enabled: bool):
     _STATS_BARRIER = enabled
 
 
-def _bn_train_fwd_impl(x, gamma, beta, eps):
+def _bn_train_fwd_impl(x, gamma, beta, shift, eps):
     n = x.shape[0] * x.shape[1] * x.shape[2]
     xr = jax.lax.optimization_barrier(x) if _STATS_BARRIER else x
     xf = xr.astype(jnp.float32)
-    # per-channel shift from sample 0 (a 1/N-cost reduce): close enough to
-    # the batch mean that the shifted-variance subtraction below no longer
-    # cancels (see module docstring)
-    c = jnp.mean(xf[:1], axis=(0, 1, 2))
     # one variadic reduce pass: both shifted sums in a single read of x
-    # (the x - c subtract fuses into the reduce; nothing is materialized)
+    # (the x - shift subtract fuses into the reduce; shift is a variable,
+    # not a reduce result, so the conv+reduce fusion stays intact)
+    c = jax.lax.stop_gradient(shift.astype(jnp.float32))
     xs = xf - c
     s1 = jnp.sum(xs, axis=(0, 1, 2))
     s2 = jnp.sum(jnp.square(xs), axis=(0, 1, 2))
@@ -84,16 +88,18 @@ def _bn_train_fwd_impl(x, gamma, beta, eps):
     mean = c + d
     var = s2 / n - jnp.square(d)
     rstd = jax.lax.rsqrt(var + eps)
-    # elementwise pass (bf16 in / bf16 out, f32 intermediate; fuses into the
-    # consumer op). Centred on (x - mean): the expanded x*scale + shift form
-    # cancels in f32 when |mean| >> std (same hazard as the variance above).
-    y = ((x.astype(jnp.float32) - mean) * (gamma * rstd)
-         + beta).astype(x.dtype)
+    # elementwise pass in x.dtype (bf16 stays on the full-rate VPU path — an
+    # f32 upcast here measured a 19% ResNet-50 step regression). Centred on
+    # (x - mean): the expanded x*scale + shift form cancels in f32 when
+    # |mean| >> std (same hazard as the variance above); in bf16 the centred
+    # subtract is as accurate as the representation allows.
+    scale = (gamma * rstd).astype(x.dtype)
+    y = (x - mean.astype(x.dtype)) * scale + beta.astype(x.dtype)
     return y, (mean, var, rstd)
 
 
-def _bn_train_vjp_fwd(x, gamma, beta, eps):
-    y, (mean, var, rstd) = _bn_train_fwd_impl(x, gamma, beta, eps)
+def _bn_train_vjp_fwd(x, gamma, beta, shift, eps):
+    y, (mean, var, rstd) = _bn_train_fwd_impl(x, gamma, beta, shift, eps)
     return (y, mean, var), (x, gamma, mean, rstd)
 
 
@@ -122,7 +128,8 @@ def _bn_train_vjp_bwd(eps, res, cts):
     a = gamma * rstd
     k = a * (rstd / n) * s_dyxhat          # coefficient of (x - mean)
     dx = (dyf * a - (xf - mean) * k - a * (s_dy / n)).astype(x.dtype)
-    return dx, s_dyxhat, s_dy
+    # shift (the running mean) is stop-gradient by construction
+    return dx, s_dyxhat, s_dy, jnp.zeros_like(mean)
 
 
 bn_train.defvjp(_bn_train_vjp_fwd, _bn_train_vjp_bwd)
@@ -166,7 +173,8 @@ class FusedBatchNorm(nn.Module):
         orig_shape = x.shape
         if x.ndim != 4:  # NLC and other ranks -> flatten to NHWC-like
             x = x.reshape((x.shape[0], 1, -1, features))
-        y, mean, var = bn_train(x, scale, bias, self.epsilon)
+        y, mean, var = bn_train(x, scale, bias, ra_mean.value,
+                                self.epsilon)
         y = y.reshape(orig_shape)
         if not self.is_initializing():
             # same stop-gradient semantics as flax: stats are plain

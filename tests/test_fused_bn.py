@@ -57,7 +57,7 @@ def test_fused_bn_matches_flax_grads():
         return jnp.sum(y * w)
 
     def loss_fused(x, gamma, beta):
-        y, _, _ = bn_train(x, gamma, beta, 1e-5)
+        y, _, _ = bn_train(x, gamma, beta, jnp.zeros_like(gamma), 1e-5)
         return jnp.sum(y * w)
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
