@@ -468,8 +468,15 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
         d = jax.device_put(buf)
     float(jnp.sum(d[0, 0, 0]))                       # hard barrier
     t_put = (time.perf_counter() - t0) / reps
-    out["h2d_transfer_ms_per_batch"] = round(t_put * 1000, 2)
-    out["h2d_bandwidth_mb_s"] = round(buf.nbytes / t_put / 1e6, 1)
+    out["h2d_put_serialized_ms"] = round(t_put * 1000, 2)
+    out["h2d_put_serialized_mb_s"] = round(buf.nbytes / t_put / 1e6, 1)
+    # effective ingest the PIPELINED loop achieved (loader thread overlaps
+    # the next batch's transfer with compute): bytes per batch over the
+    # non-compute gap. This is the honest transport number; the serialized
+    # put above shows the relay's worst case.
+    gap_s = max(1e-6, (out["cached_with_loader_ms"]
+                       - out["deviceaug_resident_ms"]) / 1000)
+    out["effective_ingest_mb_s"] = round(buf.nbytes / gap_s / 1e6, 1)
 
     out.update({"value": out["cached_stall_pct"], "unit": "%"})
     return out
