@@ -4,16 +4,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is measured images/sec divided by the north-star target of
 90% of the bf16 roofline for ResNet-50 training on this chip
 (BASELINE.json: ">=90% of TPU roofline images/sec/chip").
+
+Wedge-proofing (round-5): the axon TPU relay can wedge — device attach then
+hangs forever (observed 2026-08-17 and again at round-4 capture time, which
+turned the official record into an honest 0.0 two hours after the same code
+measured 2716 img/s). The measurement therefore runs in a CHILD process
+with a watchdog; the parent enforces a hard wall-clock timeout, and on any
+failure (hang, watchdog exit, crash) kills the child and retries ONCE in a
+fresh process before emitting the honest-zero record. The multi-metric
+portfolio (BENCH_PORTFOLIO.json) is embedded in the output either way.
 """
 
 import json
 import os
+import subprocess
+import sys
 import threading
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BATCH = 128
 IMAGE = 224
@@ -23,8 +30,47 @@ STEPS = 100  # long enough to amortize ~2ms/step relay dispatch overhead
 # ~8.27 GFLOPs fwd, ~3x for fwd+bwd.
 TRAIN_FLOPS_PER_IMAGE = 3 * 2 * 4.134e9
 
+METRIC = "resnet50_imagenet_train_imgs_per_sec_per_chip"
+_CHILD_MARK = "_SIMPLEAICV_BENCH_CHILD"
+
+
+def _repo_dir():
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _attach_extras(out):
+    """Embed the portfolio + ceiling analysis into a result dict."""
+    port = os.path.join(_repo_dir(), "BENCH_PORTFOLIO.json")
+    if os.path.exists(port):
+        try:
+            with open(port) as f:
+                out["portfolio"] = json.load(f)
+        except Exception:
+            pass
+    if os.path.exists(os.path.join(_repo_dir(), "ROADMAP.md")):
+        out["ceiling_analysis"] = (
+            "train-BN ResNet-50 measured practical ceiling ~2.7k img/s on "
+            "this part (34% MFU): XLA conv+reduce emitter charges ~3x "
+            "roofline for fused BN-stat reductions; 13 graph-level levers "
+            "measured (ROADMAP.md round-2/3 perf sections), Pallas path "
+            "closed (~300GB/s lowering cap). Compute-bound families "
+            "without BN reach higher MFU - see portfolio.")
+    return out
+
+
+def _honest_zero(reason):
+    out = {
+        "metric": METRIC, "value": 0.0, "unit": "images/s",
+        "vs_baseline": 0.0,
+        "error": f"TPU relay unresponsive after retry: {reason} "
+                 f"(relay wedge — see ROADMAP.md); last good on-chip "
+                 f"measurement was 2716.12 img/s (BENCH_PORTFOLIO.json)",
+    }
+    return _attach_extras(out)
+
 
 def chip_peak_flops():
+    import jax
     d = jax.devices()[0]
     kind = getattr(d, "device_kind", "").lower()
     if "v5 lite" in kind or "v5e" in kind:
@@ -36,25 +82,17 @@ def chip_peak_flops():
     return 197e12
 
 
-def _attach_watchdog(timeout_s=600.0):
-    """The axon TPU relay can wedge: device attach then hangs forever (not
-    an error, a hang — observed 2026-08-17, >550s with zero progress). If
-    the first device op hasn't completed in ``timeout_s``, emit an honest
-    JSON line recording the outage (value 0.0, never a stale number) so the
-    driver's bench step terminates instead of timing out silently."""
+def _attach_watchdog(timeout_s=420.0):
+    """In-child backstop: if the first device op hasn't completed in
+    ``timeout_s``, exit 3 so the parent's retry logic takes over (the parent
+    also holds a hard wall-clock timeout in case even this thread starves)."""
     done = threading.Event()
 
     def fire():
         if done.is_set():
             return
-        print(json.dumps({
-            "metric": "resnet50_imagenet_train_imgs_per_sec_per_chip",
-            "value": 0.0, "unit": "images/s", "vs_baseline": 0.0,
-            "error": f"TPU relay unresponsive: device attach/first step "
-                     f"did not complete within {timeout_s:.0f}s (relay "
-                     f"wedge — see ROADMAP.md); last good on-chip "
-                     f"measurement was 2712.99 img/s (BENCH_r02.json)",
-        }), flush=True)
+        print(f"bench child: attach/first-step watchdog fired at "
+              f"{timeout_s:.0f}s", file=sys.stderr, flush=True)
         os._exit(3)
 
     t = threading.Timer(timeout_s, fire)
@@ -63,9 +101,13 @@ def _attach_watchdog(timeout_s=600.0):
     return done
 
 
-def main():
-    # 420s >> healthy attach+first-compile (~200s worst case) but leaves
-    # headroom under the driver's own bench timeout
+def measure():
+    """The actual on-chip measurement. Prints ONE bare-result JSON line
+    (no portfolio — the parent attaches it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     watchdog_done = _attach_watchdog(
         float(os.environ.get("BENCH_ATTACH_TIMEOUT", "420")))
     from simpleaicv_tpu.core.engine import (EngineConfig, create_train_state,
@@ -123,7 +165,7 @@ def main():
     imgs_per_sec = BATCH * STEPS / dt
     target = 0.9 * chip_peak_flops() / TRAIN_FLOPS_PER_IMAGE
     out = {
-        "metric": "resnet50_imagenet_train_imgs_per_sec_per_chip",
+        "metric": METRIC,
         "value": round(imgs_per_sec, 2),
         "unit": "images/s",
         "vs_baseline": round(imgs_per_sec / target, 4),
@@ -131,26 +173,59 @@ def main():
         "mfu": round(imgs_per_sec * TRAIN_FLOPS_PER_IMAGE /
                      chip_peak_flops(), 4),
     }
-    # multi-metric portfolio (bench_all.py), regenerated when stale; the
-    # headline stays the ResNet-50 line for cross-round comparability
-    port = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_PORTFOLIO.json")
-    if os.path.exists(port):
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    """Parent: run the measurement in a child with a hard timeout; retry
+    once in a fresh process before surrendering to the honest zero."""
+    attach_s = float(os.environ.get("BENCH_ATTACH_TIMEOUT", "420"))
+    # attach watchdog + compile + 100 timed steps + margin
+    attempts = [attach_s + 120.0, attach_s + 120.0]
+    last_reason = "unknown"
+    for i, wall_s in enumerate(attempts):
+        env = dict(os.environ)
+        env[_CHILD_MARK] = "1"
+        # shorter attach watchdog on the retry so both attempts fit under
+        # the driver's bench budget (never longer than the first attempt's)
+        env["BENCH_ATTACH_TIMEOUT"] = str(
+            attach_s if i == 0
+            else min(attach_s, max(240.0, attach_s - 120.0)))
         try:
-            with open(port) as f:
-                out["portfolio"] = json.load(f)
-        except Exception:
-            pass
-    if os.path.exists(os.path.join(os.path.dirname(port), "ROADMAP.md")):
-        out["ceiling_analysis"] = (
-            "train-BN ResNet-50 measured practical ceiling ~2.7k img/s on "
-            "this part (34% MFU): XLA conv+reduce emitter charges ~3x "
-            "roofline for fused BN-stat reductions; 13 graph-level levers "
-            "measured (ROADMAP.md round-2/3 perf sections), Pallas path "
-            "closed (~300GB/s lowering cap). Compute-bound families "
-            "without BN reach higher MFU - see portfolio.")
-    print(json.dumps(out))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, cwd=_repo_dir(), timeout=wall_s,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL)
+        except subprocess.TimeoutExpired:
+            last_reason = (f"attempt {i + 1} exceeded the {wall_s:.0f}s "
+                           f"wall-clock limit and was killed")
+            print(f"bench parent: {last_reason}; "
+                  + ("retrying in a fresh process"
+                     if i + 1 < len(attempts) else "giving up"),
+                  file=sys.stderr, flush=True)
+            continue
+        if proc.returncode == 0:
+            # last stdout line is the child's bare JSON result
+            for line in reversed(proc.stdout.decode().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    print(json.dumps(_attach_extras(json.loads(line))))
+                    return
+            last_reason = f"attempt {i + 1} exited 0 without a JSON result"
+        else:
+            last_reason = (f"attempt {i + 1} exited rc={proc.returncode}"
+                           + (" (attach watchdog)"
+                              if proc.returncode == 3 else ""))
+        print(f"bench parent: {last_reason}; "
+              + ("retrying in a fresh process"
+                 if i + 1 < len(attempts) else "giving up"),
+              file=sys.stderr, flush=True)
+    print(json.dumps(_honest_zero(last_reason)))
+    sys.exit(3)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_CHILD_MARK) == "1":
+        measure()
+    else:
+        main()
