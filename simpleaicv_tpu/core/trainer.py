@@ -124,18 +124,43 @@ class Trainer:
         # augmentation (AutoAugment) across fork workers; "thread" (default)
         # is right for cv2/native-decode pipelines (data/loader.py)
         wmode = getattr(config, "loader_worker_mode", "thread")
+        from ..data.collater import ClassificationCollater
+        tc = getattr(config, "train_collater", None)
+        # the PackedLoader fast path replaces the per-sample collater with a
+        # batch-dict cast; that is only sound when the collater is a plain
+        # stack+cast (ClassificationCollater). Recipes whose collater does
+        # real work (mixup, detection padding, ...) keep the DataLoader path
+        # so they train identically on packed and folder datasets.
+        plain_collate = tc is None or type(tc) is ClassificationCollater
+        # task packs (data/packed_tasks.py) ship batch-dict collaters that
+        # declare themselves pack-native
+        packed_batch_collate = getattr(tc, "packed_batch", False)
         if (isinstance(config.train_dataset, PackedDataset)
-                and config.train_dataset.transform is None):
+                and config.train_dataset.transform is None
+                and packed_batch_collate):
+            self.train_loader = PackedLoader(
+                config.train_dataset, bs, shuffle=True, drop_last=True,
+                seed=seed, n_threads=workers, collate=tc)
+        elif (isinstance(config.train_dataset, PackedDataset)
+                and config.train_dataset.transform is None
+                and plain_collate):
             # decode-once packed cache (data/packed.py): per-batch single
             # C-memcpy gather replaces per-sample decode + collate + pickle;
             # uint8 transport feeds the on-device augmentation pipeline
-            collate = None
-            if getattr(config, "device_augment", None) is None:
-                import numpy as _np
+            import numpy as _np
+            if tc is not None:
+                target_dtype = _np.dtype(tc.image_dtype)
+            elif getattr(config, "device_augment", None) is not None:
+                target_dtype = _np.dtype(_np.uint8)  # pack-native transport
+            else:
+                target_dtype = _np.dtype(_np.float32)  # host-normalized
 
-                def collate(b):  # host-normalized recipes expect f32 input
+            collate = None
+            if target_dtype != _np.uint8:  # pack records are uint8
+
+                def collate(b):
                     out = dict(b)
-                    out["image"] = b["image"].astype(_np.float32)
+                    out["image"] = b["image"].astype(target_dtype)
                     return out
             self.train_loader = PackedLoader(
                 config.train_dataset, bs, shuffle=True, drop_last=True,

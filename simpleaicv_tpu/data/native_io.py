@@ -137,21 +137,33 @@ def decode_resize_u8(data: bytes, hw: int | tuple, pad_value: float = 0.0,
 
 def batch_decode_files_u8(paths: Sequence[str], hw: int | tuple,
                           n_threads: int = 0, pad_value: float = 0.0,
-                          letterbox: bool = True) -> Optional[np.ndarray]:
-    """Decode JPEG files into a collated [N, H, W, 3] uint8 batch."""
+                          letterbox: bool = True,
+                          return_ok: bool = False):
+    """Decode JPEG files into a collated [N, H, W, 3] uint8 batch.
+
+    The C decoder pad-fills slots whose file is missing/corrupt; silently
+    training on pad images would be a data bug, so the wrapper checks the
+    returned ok count and warns when any slot failed. ``return_ok=True``
+    additionally returns the ok count so callers (the pack writer) can
+    account failures precisely."""
     lib = _load()
     if not lib or lib.nio_version() < 2:
-        return None
+        return (None, 0) if return_ok else None
     H, W = (hw, hw) if isinstance(hw, int) else hw
     n = len(paths)
     out = np.empty((n, H, W, 3), np.uint8)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     if n_threads <= 0:
         n_threads = min(8, os.cpu_count() or 1)
-    lib.nio_batch_decode_files_u8(
+    ok = lib.nio_batch_decode_files_u8(
         arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         H, W, n_threads, pad_value, int(letterbox))
-    return out
+    if ok < n:
+        import warnings
+        warnings.warn(
+            f"native JPEG batch decode: {n - ok}/{n} files failed to "
+            f"read/decode; those slots are pad-filled", stacklevel=2)
+    return (out, int(ok)) if return_ok else out
 
 
 def gather_records(base: np.ndarray, indices: np.ndarray,

@@ -367,27 +367,48 @@ def pack_image_folder(root: str, out_path: str, image_hw: int = 224,
     meta = {"class_names": classes, "source_root": os.path.abspath(root),
             "image_hw": image_hw, "letterbox": bool(letterbox)}
     use_native = native_io.available()
+    n_failed = 0
     with PackWriter(out_path, fields, n, meta=meta) as w:
         for b0 in range(0, n, batch):
             chunk = paths[b0:b0 + batch]
             imgs = None
             if use_native:
-                imgs = native_io.batch_decode_files_u8(
+                imgs, ok = native_io.batch_decode_files_u8(
                     chunk, image_hw, n_threads=n_threads,
-                    letterbox=letterbox)
-            if imgs is None:  # no native lib: cv2 fallback
+                    letterbox=letterbox, return_ok=True)
+                if imgs is not None:
+                    n_failed += len(chunk) - ok
+            if imgs is None:  # no native lib: cv2 fallback, same geometry
                 import cv2
                 imgs = np.zeros((len(chunk), image_hw, image_hw, 3),
                                 np.uint8)
                 for j, p in enumerate(chunk):
                     im = cv2.imread(p)
                     if im is None:
+                        n_failed += 1
                         continue
                     im = cv2.cvtColor(im, cv2.COLOR_BGR2RGB)
-                    imgs[j] = cv2.resize(im, (image_hw, image_hw))
+                    if letterbox:
+                        # match csrc/native_io.cpp resize_u8: aspect-
+                        # preserving scale-to-fit, bottom/right zero pad
+                        sh, sw = im.shape[:2]
+                        scale = min(image_hw / sh, image_hw / sw)
+                        rh = max(1, int(round(sh * scale)))
+                        rw = max(1, int(round(sw * scale)))
+                        imgs[j, :rh, :rw] = cv2.resize(im, (rw, rh))
+                    else:
+                        imgs[j] = cv2.resize(im, (image_hw, image_hw))
             for j in range(len(chunk)):
                 w.add({"image": imgs[j],
                        "label": np.int32(labels[b0 + j])}, index=b0 + j)
             if progress_every and (b0 + len(chunk)) % progress_every < batch:
                 print(f"packed {b0 + len(chunk)}/{n}")
+        # recorded in the header so consumers can audit the pack; a silent
+        # all-zero training image is a data bug, not a tolerable default
+        w.meta["decode_failures"] = int(n_failed)
+    if n_failed:
+        import warnings
+        warnings.warn(f"pack_image_folder: {n_failed}/{n} images failed to "
+                      f"decode; their records are zero-filled "
+                      f"(meta['decode_failures'])", stacklevel=2)
     return out_path

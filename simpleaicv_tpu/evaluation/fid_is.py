@@ -83,11 +83,13 @@ def make_inception_feature_fn(weights_path: Optional[str] = None,
     @jax.jit
     def forward(images):
         if resize_input and images.shape[1:3] != (299, 299):
-            # jax bilinear resize == F.interpolate(align_corners=False) for
-            # upsampling (half-pixel centers); FID inputs are generated
-            # samples below 299px so this is the only case exercised
+            # antialias=False makes jax bilinear resize match the
+            # reference's F.interpolate(align_corners=False) half-pixel
+            # sampling in BOTH directions: jax's default antialias=True
+            # filters on downscale (inputs > 299px) where torch does not
             images = jax.image.resize(
-                images, (images.shape[0], 299, 299, 3), "bilinear")
+                images, (images.shape[0], 299, 299, 3), "bilinear",
+                antialias=False)
         if normalize_input:
             images = 2.0 * images - 1.0
         pool, logits = model.apply(variables, images, False)

@@ -165,10 +165,16 @@ class FusedBatchNorm(nn.Module):
                                lambda s: jnp.ones(s, jnp.float32),
                                (features,))
         if use_ra:
+            # centred form, matching the train path: the expanded
+            # x*s + (bias - scale*rstd*mean) folding cancels catastrophically
+            # when |mean| >> std — the exact f32 hazard the train-mode
+            # statistics were rewritten to avoid (ROADMAP round-4). Keeping
+            # eval centred keeps train/eval numerics consistent on
+            # large-mean channels at zero extra passes (one fused
+            # subtract-multiply-add).
             rstd = jax.lax.rsqrt(ra_var.value + self.epsilon)
-            s = (scale * rstd).astype(x.dtype)
-            t = (bias - scale * rstd * ra_mean.value).astype(x.dtype)
-            return x * s + t
+            xc = x.astype(jnp.float32) - ra_mean.value
+            return (xc * (scale * rstd) + bias).astype(x.dtype)
 
         orig_shape = x.shape
         if x.ndim != 4:  # NLC and other ranks -> flatten to NHWC-like
