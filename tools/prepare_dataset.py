@@ -21,6 +21,10 @@ Usage:
          --out train_224.pack --size 224
   python tools/prepare_dataset.py pack-cifar  --root <CIFAR> --out c.pack \
          --dataset cifar100 --split train
+  python tools/prepare_dataset.py pack-coco   --root <COCO2017> \
+         --out train_1024.pack --set-name train2017 --size 1024
+  python tools/prepare_dataset.py pack-sam    --root <SA-1B> \
+         --out sa0_1024.pack --set-names sa_000000 --set-type train
 
 Packing (decode-once cache): writes every sample as a fixed-stride uint8
 record at the training transport resolution so steady-state epochs read
@@ -77,6 +81,17 @@ def main(argv=None):
                    default="cifar100")
     p.add_argument("--split", choices=("train", "test"), default="train")
 
+    p = std("pack-coco")
+    p.add_argument("--set-name", default="train2017")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--max-annots", type=int, default=100)
+
+    p = std("pack-sam")
+    p.add_argument("--set-names", nargs="+", default=["sa_000000"])
+    p.add_argument("--set-type", default="train")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--point-candidates", type=int, default=32)
+
     args = parser.parse_args(argv)
 
     if args.cmd in ("rctw", "art", "lsvt", "mlt", "rects"):
@@ -115,6 +130,28 @@ def main(argv=None):
             CIFAR10Dataset
         ds = cls(args.root, set_name=args.split)
         pack_dataset(ds, args.out, progress_every=10000)
+        print(f"packed {len(ds)} samples -> {args.out}")
+    elif args.cmd == "pack-coco":
+        from simpleaicv_tpu.data.datasets.coco import CocoDetection
+        from simpleaicv_tpu.data.packed_tasks import pack_detection_dataset
+        ds = CocoDetection(args.root, set_name=args.set_name,
+                           filter_no_object_image=True)
+        pack_detection_dataset(ds, args.out, image_hw=args.size,
+                               max_annots=args.max_annots,
+                               meta={"set_name": args.set_name},
+                               progress_every=5000)
+        print(f"packed {len(ds)} samples -> {args.out}")
+    elif args.cmd == "pack-sam":
+        from simpleaicv_tpu.data.datasets.sam_segmentation import \
+            SAMSegmentationDataset
+        from simpleaicv_tpu.data.packed_tasks import pack_sam_dataset
+        ds = SAMSegmentationDataset(args.root,
+                                    set_name_list=args.set_names,
+                                    set_type=args.set_type)
+        pack_sam_dataset(ds, args.out, image_hw=args.size,
+                         max_point_candidates=args.point_candidates,
+                         meta={"set_names": args.set_names},
+                         progress_every=5000)
         print(f"packed {len(ds)} samples -> {args.out}")
     return 0
 
