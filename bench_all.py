@@ -411,6 +411,32 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
     out["cached_stall_pct"] = round(
         max(0.0, (t_cached - t_devaug) / t_devaug) * 100, 2)
 
+    # transport OVERLAP (core/trainer.py _device_prefetch does this in
+    # production): issue batch N+1's device_put while step N executes —
+    # dispatch is async, so if the relay can progress a put during compute
+    # the measured stall shrinks by the overlap factor. The plain cached
+    # leg above puts synchronously with consumption.
+    def cached_feed_overlapped(n):
+        it = cached_feed(n + 1)
+        buf = None
+        for b in it:
+            nxt = {k: jax.device_put(v) for k, v in b.items()}
+            if buf is not None:
+                yield buf
+            buf = nxt
+        if buf is not None:
+            yield buf
+
+    feed = cached_feed_overlapped(steps + 1)
+    next(feed)
+    t_overlap = timed(step_aug, feed, steps)
+    out["cached_prefetch_with_loader_ms"] = round(t_overlap * 1000, 2)
+    out["cached_prefetch_stall_pct"] = round(
+        max(0.0, (t_overlap - t_devaug) / t_devaug) * 100, 2)
+    stall_serial = max(t_cached - t_devaug, 1e-9)
+    stall_overlap = max(t_overlap - t_devaug, 1e-9)
+    out["h2d_overlap_factor"] = round(stall_serial / stall_overlap, 2)
+
     # host-core budget: imgs/s/core for the two host-side input strategies,
     # -> cores needed to feed the measured ResNet-50 headline rate
     reader = PackReader(pack_path)
@@ -482,6 +508,84 @@ def bench_input_pipeline(steps=30, batch=128, image=224):
     return out
 
 
+def bench_detection_input_pipeline(image=1024, batch=8, n_pack=64):
+    """Host-side input budget for the heavy detection vertical (COCO at
+    832²–1024², SURVEY §7 hard part 7): packed-record gather + batch-dict
+    collate rate per core vs native JPEG decode at detection resolution,
+    against the measured FCOS consumption rate. The pack trades the 5-core
+    JPEG budget for a memcpy (tools/prepare_dataset.py pack-coco)."""
+    import os
+    import tempfile
+
+    from simpleaicv_tpu.data import native_io
+    from simpleaicv_tpu.data.packed import PackReader
+    from simpleaicv_tpu.data.packed_tasks import (PackedDetectionCollate,
+                                                  pack_detection_dataset)
+
+    class _Synth:
+        """Photo-like synthetic detection samples (decode-realistic)."""
+
+        class_names = ["a", "b"]
+
+        def __len__(self):
+            return n_pack
+
+        def __getitem__(self, i):
+            r = np.random.RandomState(i)
+            yy, xx = np.mgrid[0:500, 0:666]
+            base = 96 + 64 * np.sin(yy / 37.0 + i) + 48 * np.cos(xx / 23.0)
+            img = np.clip(base[..., None] + r.randn(500, 666, 3) * 12,
+                          0, 255).astype(np.float32)
+            ann = np.array([[50, 60, 300, 280, 0],
+                            [100, 120, 400, 380, 1]], np.float32)
+            return {"image": img, "annots": ann, "scale": 1.0}
+
+    pack_path = os.path.join(tempfile.gettempdir(),
+                             f"bench_det_{image}.pack")
+    pack_detection_dataset(_Synth(), pack_path, image_hw=image,
+                           max_annots=100)
+    reader = PackReader(pack_path)
+    collate = PackedDetectionCollate()
+    idx = np.random.RandomState(1).randint(0, n_pack, (6, batch))
+    collate(reader.read_batch(idx[0], n_threads=1))     # fault pages in
+    t0 = time.perf_counter()
+    for k in range(6):
+        collate(reader.read_batch(idx[k], n_threads=1))
+    cached_rate = 6 * batch / (time.perf_counter() - t0)
+
+    out = {"image_hw": image,
+           "cached_read_collate_imgs_per_sec_core": round(cached_rate, 1)}
+
+    jpeg_rate = None
+    if native_io.available():
+        import cv2
+        yy, xx = np.mgrid[0:640, 0:480]
+        base = (96 + 64 * np.sin(yy / 37.0) + 48 * np.cos(xx / 23.0))
+        img = np.clip(base[..., None] + np.random.RandomState(0)
+                      .randn(640, 480, 3) * 12, 0, 255).astype(np.uint8)
+        _, enc = cv2.imencode(".jpg", img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        data = enc.tobytes()
+        native_io.decode_resize(data, image, letterbox=True)
+        t0 = time.perf_counter()
+        reps = 24
+        for _ in range(reps):
+            native_io.decode_resize(data, image, letterbox=True)
+        jpeg_rate = reps / (time.perf_counter() - t0)
+        out["jpeg_decode_imgs_per_sec_core"] = round(jpeg_rate, 1)
+
+    # consumption rate: the portfolio's measured FCOS-800 throughput
+    # (BENCH_PORTFOLIO fcos_r50_800_train ~97 img/s on this chip)
+    target = 97.4
+    out["host_core_budget"] = {
+        "target_imgs_per_sec": target,
+        "cores_needed_cached": round(target / cached_rate, 3),
+        "cores_needed_jpeg":
+            round(target / jpeg_rate, 3) if jpeg_rate else None,
+    }
+    out.update({"value": round(target / cached_rate, 3), "unit": "cores"})
+    return out
+
+
 ALL = {
     "resnet50_224_train": bench_resnet50,
     "vit_b16_224_train": bench_vit_b16,
@@ -507,6 +611,9 @@ ALL = {
                                  variant="h", remat=True),
     "batched_nms_1000x80_device_time": bench_nms_p50,
     "input_pipeline_stall": bench_input_pipeline,
+    # VERDICT r4 #5: the 832²–1024² verticals' host input budget through
+    # the new detection pack (host-only leg, no device work)
+    "detection_input_pipeline": bench_detection_input_pipeline,
     # MoE routing overhead on one chip (experts local): dense small ViT vs
     # the 8-expert top-2 MoE variant at the SAME 197-token count (patch14 @
     # 196² == patch16 @ 224²) — the delta is the one-hot dispatch/combine

@@ -27,6 +27,7 @@ class MultiHeadAttention(nn.Module):
     head_nums: int
     dropout_prob: float = 0.0
     use_flash_attention: bool = False
+    use_recompute_attention: bool = False
     dtype: Dtype = dtype_field()
 
     @nn.compact
@@ -45,6 +46,15 @@ class MultiHeadAttention(nn.Module):
             out = flash_attention_xla(q.transpose(0, 2, 1, 3),
                                       k.transpose(0, 2, 1, 3),
                                       v.transpose(0, 2, 1, 3))
+            out = out.transpose(0, 2, 1, 3)
+        elif self.use_recompute_attention and self.dropout_prob == 0.0:
+            # one-shot softmax forward + FA-2 einsum-recompute backward:
+            # drops the f32 [B,H,N,N] probability residual without the
+            # scan overhead flash pays at short sequences
+            from ...ops.flash_attention import attention_recompute_xla
+            out = attention_recompute_xla(q.transpose(0, 2, 1, 3),
+                                          k.transpose(0, 2, 1, 3),
+                                          v.transpose(0, 2, 1, 3))
             out = out.transpose(0, 2, 1, 3)
         else:
             attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
@@ -91,6 +101,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout_prob: float = 0.0
     drop_path_prob: float = 0.0
     use_flash_attention: bool = False
+    use_recompute_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -98,6 +109,7 @@ class TransformerEncoderLayer(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = MultiHeadAttention(self.head_nums, self.dropout_prob,
                                self.use_flash_attention,
+                               self.use_recompute_attention,
                                name="attn")(h.astype(cdtype()), train)
         x = x + DropPath(self.drop_path_prob)(h.astype(x.dtype), train)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
@@ -120,6 +132,7 @@ class ViT(nn.Module):
     num_classes: int = 1000
     use_gradient_checkpoint: bool = False
     use_flash_attention: bool = False
+    use_recompute_attention: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -152,6 +165,7 @@ class ViT(nn.Module):
                    self.drop_path_prob * i / max(self.block_nums - 1, 1))
             x = layer_cls(self.head_nums, self.feedforward_ratio,
                           self.dropout_prob, dpp, self.use_flash_attention,
+                          self.use_recompute_attention,
                           name=f"blocks_{i}")(x, train)
 
         if self.global_pool:

@@ -656,6 +656,62 @@ def flash_attention_xla(q, k, v, block_k: int = 512):
     return out.reshape(b, h, n, d)
 
 
+def _plain_softmax_fwd(q, k, v):
+    """One-shot softmax attention, [BH, N, D]: f32 scores stay a transient
+    inside the fusion, probabilities hit HBM once in the compute dtype for
+    the PV matmul, and the only residual is the [BH, N] logsumexp."""
+    d = q.shape[-1]
+    scale = d**-0.5
+    s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.einsum("bnm,bmd->bnd", (p / l).astype(v.dtype), v,
+                   preferred_element_type=jnp.float32).astype(q.dtype)
+    lse = (m + jnp.log(l))[..., 0]                    # [BH, N]
+    return o, lse
+
+
+@jax.custom_vjp
+def _recompute_core(q, k, v):
+    o, _ = _plain_softmax_fwd(q, k, v)
+    return o
+
+
+def _recompute_fwd(q, k, v):
+    o, lse = _plain_softmax_fwd(q, k, v)
+    return o, (q, k, v, o, lse)
+
+
+def _recompute_bwd(res, do):
+    # FA-2 einsum-recompute backward, shared with the scan flash path
+    # (block_k is unused there; kv_len=None disables key masking)
+    return _xla_flash_bwd(0, None, res, do)
+
+
+_recompute_core.defvjp(_recompute_fwd, _recompute_bwd)
+
+
+def attention_recompute_xla(q, k, v):
+    """Exact softmax attention, [B, H, N, d], with a FlashAttention-2
+    einsum-recompute backward and NO online-softmax scan.
+
+    The short-sequence complement to :func:`flash_attention_xla`: at ViT's
+    197 tokens the scan's per-block loop overhead loses to one big softmax
+    (measured 0.355 vs 0.402 MFU, BENCH_PORTFOLIO vit_b16_224_train_flash),
+    but plain autodiff attention SAVES the f32 [B,H,N,N] probability tensor
+    as a residual — 238 MB/layer at b128, re-read by the backward (the
+    round-5 ViT-B trace's dominant traffic). This path keeps the one-shot
+    forward and stores only (q, k, v, o, lse), recomputing probabilities in
+    the backward as plain MXU einsums. Exact vs autodiff attention to f32
+    tolerance (tests/test_flash_attention.py)."""
+    b, h, n, d = q.shape
+    o = _recompute_core(q.reshape(b * h, n, d), k.reshape(b * h, n, d),
+                        v.reshape(b * h, n, d))
+    return o.reshape(b, h, n, d)
+
+
 def flash_attention_relpos_xla(q, k, v, rel_h, rel_w):
     """Blockwise online-softmax attention with SAM's decomposed rel-pos
     bias, in plain XLA. Same contract as flash_attention_relpos."""

@@ -237,3 +237,49 @@ def test_vit_flash_option_matches_einsum_path():
     gf = jax.grad(lambda p: jnp.sum(m_fla.apply(p, x) ** 2))(variables)
     for a, b in zip(jax.tree.leaves(ge), jax.tree.leaves(gf)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_attention_recompute_matches_reference_fwd_and_grad():
+    """The short-sequence recompute path (one-shot softmax forward, FA-2
+    einsum-recompute backward, lse-only residual): exact vs einsum
+    attention, forward and gradients, incl. a non-divisible length."""
+    from simpleaicv_tpu.ops.flash_attention import (attention_recompute_xla,
+                                                    reference_attention)
+    rng = np.random.RandomState(3)
+    for n in (64, 197):
+        q = jnp.asarray(rng.randn(2, 3, n, 16) * 0.1, jnp.float32)
+        k = jnp.asarray(rng.randn(2, 3, n, 16) * 0.1, jnp.float32)
+        v = jnp.asarray(rng.randn(2, 3, n, 16) * 0.1, jnp.float32)
+        want = reference_attention(q, k, v)
+        got = attention_recompute_xla(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+        def grads(fn):
+            return jax.grad(lambda *a: jnp.sum(fn(*a) ** 2),
+                            argnums=(0, 1, 2))(q, k, v)
+
+        for a, b in zip(grads(reference_attention),
+                        grads(attention_recompute_xla)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=f"n={n}")
+
+
+def test_vit_recompute_option_matches_einsum_path():
+    """ViT attention with use_recompute_attention: same outputs/grads at the
+    197-token shape."""
+    from simpleaicv_tpu.models.backbones.vit import MultiHeadAttention
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 197, 64) * 0.1, jnp.float32)
+    m_ein = MultiHeadAttention(head_nums=4, dtype=jnp.float32)
+    m_rec = MultiHeadAttention(head_nums=4, use_recompute_attention=True,
+                               dtype=jnp.float32)
+    variables = m_ein.init(jax.random.PRNGKey(0), x)
+    out_e = m_ein.apply(variables, x)
+    out_r = m_rec.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_e),
+                               atol=2e-5)
+    ge = jax.grad(lambda p: jnp.sum(m_ein.apply(p, x) ** 2))(variables)
+    gr = jax.grad(lambda p: jnp.sum(m_rec.apply(p, x) ** 2))(variables)
+    for a, b in zip(jax.tree.leaves(ge), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
