@@ -1,6 +1,7 @@
 from .cifar import CIFAR10Dataset, CIFAR100Dataset  # noqa: F401
 from .synthetic import (FakeClassificationDataset,  # noqa: F401
-                        LearnableClassificationDataset)
+                        LearnableClassificationDataset,
+                        LearnableDetectionDataset, TwoModeImageDataset)
 from .ilsvrc2012 import ILSVRC2012Dataset  # noqa: F401
 from .coco import CocoDetection, FakeDetectionDataset  # noqa: F401
 from .voc import VocDetection, evaluate_voc_detection  # noqa: F401
