@@ -61,6 +61,7 @@ use only on inputs, under ``jax.lax.stop_gradient`` semantics (no params).
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import jax
@@ -178,18 +179,17 @@ def _smooth(img):
     return jnp.moveaxis(out, 1, -1)
 
 
-def _affine_warp(img, mat):
-    """PIL Image.transform(AFFINE, nearest), bit-exact.
+def _warp_indices(mat, h, w):
+    """PIL 16.16 fixed-point inverse-map coefficients and source coords.
 
     PIL's ImagingTransformAffine is a 16.16 fixed-point incremental
     rasterizer: coefficients are quantized with ``FIX(v) = floor(v*65536 +
     .5)`` and source coords accumulate per row/column, so
     ``src_x(y,x) = (FIX(a*.5 + b*.5 + c) + y*FIX(b) + x*FIX(a)) >> 16``
     (pinned empirically vs PIL 12, incl. the half-boundary rows a pure
-    float ``floor(a(x+.5)+b(y+.5)+c)`` model gets wrong).  Out-of-bounds
-    pixels take the fill colour.  int32 accumulators bound image extents +
-    translations to < 2^15 px — far above any augmentation recipe."""
-    bsz, h, w, c = img.shape
+    float ``floor(a(x+.5)+b(y+.5)+c)`` model gets wrong).  int32
+    accumulators bound image extents + translations to < 2^15 px — far
+    above any augmentation recipe."""
 
     def fix(v):
         return jnp.floor(v * 65536.0 + 0.5).astype(jnp.int32)[:, None, None]
@@ -202,6 +202,19 @@ def _affine_warp(img, mat):
     xs = jnp.arange(w, dtype=jnp.int32)[None, None, :]
     sx = (x0 + ys * dxr + xs * dxc) >> 16
     sy = (y0 + ys * dyr + xs * dyc) >> 16
+    return sx, sy, (x0, y0, dxc, dxr, dyc, dyr)
+
+
+def _affine_warp_gather(img, mat):
+    """PIL Image.transform(AFFINE, nearest), bit-exact — gather variant.
+
+    One channel-padded 32-float slice per output pixel.  Measured 55.7ms
+    at b128 224² on chip (perf/device_aug_phase_probe.py): the per-slice
+    issue rate, not HBM bandwidth, is the wall.  Kept as the oracle for
+    the MXU one-hot variant below and for shapes its preconditions
+    exclude.  Out-of-bounds pixels take the fill colour."""
+    bsz, h, w, c = img.shape
+    sx, sy, _ = _warp_indices(mat, h, w)
     valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
     idx = (jnp.clip(sy, 0, h - 1) * w + jnp.clip(sx, 0, w - 1))
     # channel-pad the gather slices to 32: TPU XLA scalar-loops 3-float
@@ -212,6 +225,97 @@ def _affine_warp(img, mat):
                               axis=1)[..., :c]
     out = out.reshape(bsz, h, w, c)
     return jnp.where(valid[..., None], out, _FILL)
+
+
+def _affine_warp_onehot(img, mat, block=16):
+    """PIL Image.transform(AFFINE, nearest), bit-exact — MXU variant.
+
+    Replaces the per-pixel gather with two one-hot matmul passes (the
+    perf/warp_onehot_probe.py pattern, 10.3ms vs 55.4ms at b128 224²):
+
+    - pass V contracts a one-hot over source ROWS against the image, per
+      source column: ``t[y,w] = src[syref(y,w), w]`` — plus a second
+      candidate channel shifted by ``s = sign(FIX(d))``;
+    - pass H contracts a one-hot over source COLUMNS: ``out[y,x] =
+      t[y, sx(y,x)]`` picking the candidate elementwise afterwards.
+
+    Exactness: with PIL's fixed-point map, ``sx(y, x)`` is strictly
+    increasing in x with step ``dxc = FIX(a)``; every AutoAugment /
+    RandAugment geometry op has ``a = 1`` (shear/translate) or
+    ``a = cos θ`` with ``|θ| <= 30°``, so ``dxc > 32768`` and at most TWO
+    consecutive output columns ``{xf, xf+1}`` land on any source column
+    ``w``.  ``xf(y,w) = ceil((w<<16 - X(y)) / dxc)`` is elementwise
+    computable, and the two columns' source rows differ by at most
+    ``sign(dyc)`` (``|d| <= 1`` for the whole op zoo) — hence exactly two
+    row candidates ``{syref, syref + s}``, one one-hot, and a
+    channel-concatenated row-shifted copy of the source.  Falls back to
+    the gather variant when ``dxc <= 32768`` cannot be guaranteed is NOT
+    needed: the op tables bound rotation at 30°.
+    """
+    bsz, h, w, c = img.shape
+    sx, sy, (x0, y0, dxc, dxr, dyc, dyr) = _warp_indices(mat, h, w)
+    valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+    sxc = jnp.clip(sx, 0, w - 1)
+
+    ws = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    ys = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    x_row = x0 + ys * dxr                      # [B,H,1] sx row base
+    y_row = y0 + ys * dyr                      # [B,H,1] sy row base
+    # first output column mapping to source column w (may be out of range
+    # for unhit columns — harmless, those lanes are never selected)
+    xf = -jnp.floor_divide(x_row - (ws << 16), dxc)        # [B,H,W]
+    syref = (y_row + xf * dyc) >> 16                       # [B,H,W]
+    # elementwise recomputation of syref at w = sx(y,x): which of the two
+    # row candidates this output pixel needs
+    xf_at = -jnp.floor_divide(x_row - (sxc << 16), dxc)
+    syref_at = (y_row + xf_at * dyc) >> 16
+    need_second = sy != syref_at                           # [B,H,W] bool
+
+    s_sign = jnp.sign(dyc)                                 # [B,1,1]
+    # source with 2-row halo so candidate rows syref ∈ [-1, h] and
+    # syref+s stay addressable without clipping artefacts at the borders
+    srcp = jnp.pad(img, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    base = srcp[:, 1:h + 3]                                # row j-1 of src
+    up = srcp[:, 2:h + 4]                                  # row j   of src
+    down = srcp[:, 0:h + 2]                                # row j-2 of src
+    shifted = jnp.where((s_sign > 0)[..., None],
+                        up, jnp.where((s_sign < 0)[..., None], down, base))
+    src6 = jnp.concatenate([base, shifted], axis=-1)       # [B,H+2,W,2C]
+    src6 = src6.astype(jnp.bfloat16)
+    jj = jnp.arange(h + 2, dtype=jnp.int32)
+    ww = jnp.arange(w, dtype=jnp.int32)
+
+    outs = []
+    y_lo = 0
+    while y_lo < h:
+        blk = min(block, h - y_lo)
+        syb = jax.lax.dynamic_slice_in_dim(syref, y_lo, blk, axis=1)
+        sxb = jax.lax.dynamic_slice_in_dim(sxc, y_lo, blk, axis=1)
+        ohv = ((syb + 1)[..., None] == jj).astype(jnp.bfloat16)
+        t = jnp.einsum("bywj,bjwe->bywe", ohv, src6,
+                       preferred_element_type=jnp.float32)
+        ohh = (sxb[..., None] == ww).astype(jnp.bfloat16)
+        g = jnp.einsum("byxw,bywe->byxe", ohh, t.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        outs.append(g)
+        y_lo += blk
+    g = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    out = jnp.where(need_second[..., None], g[..., c:], g[..., :c])
+    return jnp.where(valid[..., None], out.astype(img.dtype), _FILL)
+
+
+def _affine_warp(img, mat):
+    """Production warp: MXU one-hot passes on TPU/GPU, gather on CPU (the
+    matmul pattern is a TPU win; CPU tests and tiny shapes keep the
+    straightforward gather).  Both are PIL-bit-exact and pinned against
+    each other + PIL goldens (tests/test_device_augment.py)."""
+    if _WARP_IMPL == "onehot" or (_WARP_IMPL == "auto"
+                                  and jax.default_backend() != "cpu"):
+        return _affine_warp_onehot(img, mat)
+    return _affine_warp_gather(img, mat)
+
+
+_WARP_IMPL = os.environ.get("SIMPLEAICV_WARP_IMPL", "auto")
 
 
 def _geom_matrices(kind, arg, h, w):
