@@ -479,8 +479,12 @@ def flash_attention_relpos(q, k, v, rel_h, rel_w,
 # materialize-everything einsum path.
 
 
-def _xla_fwd_pass(q, k, v, bias_blocks, block_k, kv_len=None):
-    """Shared scan: bias_blocks is None or [n_blocks, BH, N, block_k].
+def _xla_fwd_pass(q, k, v, relpos, block_k, kv_len=None):
+    """Shared scan: ``relpos`` is None or ``(rel_h, rel_w)`` — SAM's
+    decomposed bias, built PER KEY BLOCK inside the scan body so the full
+    [BH, N, N] bias is never materialized (at SAM-B's 4096-token global
+    layers that tensor is 805 MB/layer in f32; the round-5 trace named it
+    the encoder's dominant HBM traffic and the b8 compile killer).
 
     ``kv_len`` (static) masks key positions >= kv_len to -inf — used by the
     auto-padding wrapper so sequence lengths that don't divide the block
@@ -494,16 +498,25 @@ def _xla_fwd_pass(q, k, v, bias_blocks, block_k, kv_len=None):
     vb = v.reshape(bh, nb, block_k, d).transpose(1, 0, 2, 3)
     starts = jnp.arange(nb, dtype=jnp.int32) * block_k
     lane = jnp.arange(block_k, dtype=jnp.int32)
+    if relpos is not None:
+        rel_h, rel_w = relpos
+        n_q, k_w = rel_h.shape[1], rel_w.shape[-1]
+        rows = block_k // k_w
+        # [nb, BH, Nq, rows] — k_h-axis slices, tiny vs the full bias
+        rhb = rel_h.astype(jnp.float32).reshape(
+            bh, n_q, nb, rows).transpose(2, 0, 1, 3)
+        rwf = rel_w.astype(jnp.float32)
 
     def body(carry, inp):
         acc, m_prev, l_prev = carry
-        if bias_blocks is None:
+        if relpos is None:
             kblk, vblk, start = inp
             s = jnp.einsum("bnd,bmd->bnm", qf, kblk.astype(jnp.float32))
         else:
-            kblk, vblk, bias, start = inp
+            kblk, vblk, rh, start = inp
             s = jnp.einsum("bnd,bmd->bnm", qf, kblk.astype(jnp.float32))
-            s = s + bias
+            s = (s.reshape(bh, -1, rows, k_w) + rh[..., :, None]
+                 + rwf[:, :, None, :]).reshape(s.shape)
         if kv_len is not None:
             s = jnp.where((start + lane < kv_len)[None, None, :], s,
                           -jnp.inf)
@@ -521,8 +534,8 @@ def _xla_fwd_pass(q, k, v, bias_blocks, block_k, kv_len=None):
     init = (jnp.zeros((bh, n_q, d), jnp.float32),
             jnp.full((bh, n_q, 1), -jnp.inf, jnp.float32),
             jnp.zeros((bh, n_q, 1), jnp.float32))
-    xs = ((kb, vb, starts) if bias_blocks is None
-          else (kb, vb, bias_blocks, starts))
+    xs = ((kb, vb, starts) if relpos is None
+          else (kb, vb, rhb, starts))
     (acc, m, l), _ = jax.lax.scan(body, init, xs)
     o = (acc / l).astype(q.dtype)
     lse = (m + jnp.log(l))[..., 0]                    # [BH, N]
@@ -578,55 +591,69 @@ def _relpos_block_k(k_h: int, k_w: int) -> int:
     return rows * k_w
 
 
-def _relpos_bias_blocks(rel_h, rel_w, k_h, block_k):
-    """[n_blocks, BH, N, block_k] f32 bias, sliced row-aligned."""
-    bh, n, _ = rel_h.shape
-    rows = block_k // rel_w.shape[-1]
-    nb = k_h // rows
-    rh = rel_h.reshape(bh, n, nb, rows).transpose(2, 0, 1, 3)
-    bias = rh[..., None] + rel_w[None, :, :, None, :]
-    return bias.reshape(nb, bh, n, block_k)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _xla_relpos_core(q, k, v, rel_h, rel_w, k_h, block_k):
-    bias = _relpos_bias_blocks(rel_h, rel_w, k_h, block_k)
-    o, _ = _xla_fwd_pass(q, k, v, bias, block_k)
+    o, _ = _xla_fwd_pass(q, k, v, (rel_h, rel_w), block_k)
     return o
 
 
 def _xla_relpos_fwd(q, k, v, rel_h, rel_w, k_h, block_k):
-    bias = _relpos_bias_blocks(rel_h, rel_w, k_h, block_k)
-    o, lse = _xla_fwd_pass(q, k, v, bias, block_k)
+    o, lse = _xla_fwd_pass(q, k, v, (rel_h, rel_w), block_k)
     return o, (q, k, v, rel_h, rel_w, o, lse)
 
 
 def _xla_relpos_bwd(k_h, block_k, res, do):
+    """Blockwise FA-2 backward: probabilities are recomputed PER KEY BLOCK
+    under lax.scan — peak transient is [BH, N, block_k], never the three
+    [BH, N, N] f32 tensors (s, p, ds) the one-shot backward held (2.4 GB/
+    layer at SAM-B b1 4096 tokens; the round-5 trace's b8 OOM source)."""
     q, k, v, rel_h, rel_w, o, lse = res
     bh, n, d = q.shape
     k_w = rel_w.shape[-1]
+    rows = block_k // k_w
+    nb = k_h // rows
     scale = d**-0.5
+    qf = q.astype(jnp.float32) * scale
     dof = do.astype(jnp.float32)
-    s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32) * scale,
-                   k.astype(jnp.float32))
-    s = s.reshape(bh, n, k_h, k_w) + rel_h[..., :, None] \
-        + rel_w[..., None, :]
-    p = jnp.exp(s.reshape(bh, n, n) - lse[..., None])
     delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1, keepdims=True)
-    dv = jnp.einsum("bnm,bnd->bmd", p.astype(do.dtype), do,
-                    preferred_element_type=jnp.float32).astype(v.dtype)
-    dp = jnp.einsum("bnd,bmd->bnm", dof, v.astype(jnp.float32))
-    ds = p * (dp - delta)                              # [BH, N, N] f32
-    ds4 = ds.reshape(bh, n, k_h, k_w)
-    drh = jnp.sum(ds4, axis=-1).astype(rel_h.dtype)
-    drw = jnp.sum(ds4, axis=-2).astype(rel_w.dtype)
-    dsb = ds.astype(q.dtype)
-    dq = (jnp.einsum("bnm,bmd->bnd", dsb, k,
-                     preferred_element_type=jnp.float32)
-          * scale).astype(q.dtype)
-    dk = (jnp.einsum("bnm,bnd->bmd", dsb, q,
-                     preferred_element_type=jnp.float32)
-          * scale).astype(k.dtype)
+    kb = k.reshape(bh, nb, block_k, d).transpose(1, 0, 2, 3)
+    vb = v.reshape(bh, nb, block_k, d).transpose(1, 0, 2, 3)
+    rhb = rel_h.astype(jnp.float32).reshape(
+        bh, n, nb, rows).transpose(2, 0, 1, 3)
+    rwf = rel_w.astype(jnp.float32)
+
+    def body(carry, inp):
+        dq_acc, drw_acc = carry
+        kblk, vblk, rh = inp
+        s = jnp.einsum("bnd,bmd->bnm", qf, kblk.astype(jnp.float32))
+        s = (s.reshape(bh, n, rows, k_w) + rh[..., :, None]
+             + rwf[:, :, None, :]).reshape(bh, n, block_k)
+        p = jnp.exp(s - lse[..., None])                # [BH, N, block_k]
+        dv_blk = jnp.einsum("bnm,bnd->bmd", p.astype(do.dtype), do,
+                            preferred_element_type=jnp.float32
+                            ).astype(v.dtype)
+        dp = jnp.einsum("bnd,bmd->bnm", dof, vblk.astype(jnp.float32))
+        ds = p * (dp - delta)
+        ds4 = ds.reshape(bh, n, rows, k_w)
+        drh_blk = jnp.sum(ds4, axis=-1)                # [BH, N, rows]
+        drw_acc = drw_acc + jnp.sum(ds4, axis=-2)      # [BH, N, k_w]
+        dsb = ds.astype(q.dtype)
+        dq_acc = dq_acc + jnp.einsum("bnm,bmd->bnd", dsb, kblk,
+                                     preferred_element_type=jnp.float32)
+        dk_blk = (jnp.einsum("bnm,bnd->bmd", dsb, q,
+                             preferred_element_type=jnp.float32)
+                  * scale).astype(k.dtype)
+        return (dq_acc, drw_acc), (dk_blk, dv_blk, drh_blk)
+
+    init = (jnp.zeros((bh, n, d), jnp.float32),
+            jnp.zeros((bh, n, k_w), jnp.float32))
+    (dq_acc, drw_acc), (dk_s, dv_s, drh_s) = jax.lax.scan(
+        body, init, (kb, vb, rhb))
+    dq = (dq_acc * scale).astype(q.dtype)
+    dk = dk_s.transpose(1, 0, 2, 3).reshape(bh, n, d)
+    dv = dv_s.transpose(1, 0, 2, 3).reshape(bh, n, d)
+    drh = drh_s.transpose(1, 2, 0, 3).reshape(bh, n, k_h).astype(rel_h.dtype)
+    drw = drw_acc.astype(rel_w.dtype)
     return dq, dk, dv, drh, drw
 
 
