@@ -303,3 +303,70 @@ def test_ddpm_learns_two_mode_distribution(tmp_path):
     # and near.mean ~ 0.15-0.25 by epoch 90
     assert hi >= 0.15 and lo >= 0.15, (hi, lo, means)
     assert float(near.mean()) <= 0.33, (float(near.mean()), means)
+
+
+@pytest.mark.slow
+def test_dbnet_text_detection_learns(tmp_path):
+    """DBNet: shrink/threshold map losses -> optimizer -> host contour
+    decode (DBNetDecoder) -> polygon P/R/F1 rises far above chance on
+    separable white text-rectangles (reference integration proof:
+    tools/text_scripts.py:1421-1674)."""
+    import jax
+    import jax.numpy as jnp
+
+    from simpleaicv_tpu.core.registry import MODELS, LOSSES
+    from simpleaicv_tpu.core.trainer import Trainer
+    from simpleaicv_tpu.data.text_detection import (FakeTextDetectionDataset,
+                                                    TextDetectionCollater,
+                                                    DBNetDecoder)
+    from simpleaicv_tpu.evaluation.text_eval import evaluate_text_detection
+
+    td = _load_tool("train_text_detection")
+
+    class config:
+        network = "resnet18_dbnet"
+        input_image_size = 128
+        model = MODELS.create(network)
+        train_criterion = LOSSES.create("DBNetLoss")
+        train_dataset = FakeTextDetectionDataset(num_samples=32,
+                                                 image_hw=128)
+        test_dataset = FakeTextDetectionDataset(num_samples=8, image_hw=128)
+        train_collater = TextDetectionCollater(resize=128)
+        test_collater = TextDetectionCollater(resize=128)
+        seed = 0
+        batch_size = 8
+        num_workers = 2
+        accumulation_steps = 1
+        optimizer = ("AdamW", {"lr": 1e-3, "global_weight_decay": False,
+                               "weight_decay": 1e-3,
+                               "no_weight_decay_layer_name_list": []})
+        scheduler = ("CosineLR", {"warm_up_epochs": 0, "min_lr": 1e-5})
+        epochs = 20
+        print_interval = 100
+        use_ema_model = False
+
+    def evaluate(eval_step, params, state_vars, loader, shard_fn):
+        del eval_step, shard_fn
+        decoder = DBNetDecoder()
+        forward = jax.jit(lambda p, sv, x: config.model.apply(
+            {"params": p, **sv}, x, False))
+        results = []
+        for batch in loader:
+            preds = np.asarray(forward(params, state_vars,
+                                       jnp.asarray(batch["image"])))
+            for (boxes, _s), gt in zip(decoder(preds), batch["polys"]):
+                results.append({"pred_polys": list(boxes),
+                                "gt_polys": list(gt),
+                                "gt_ignore": [False] * len(gt)})
+        stats = evaluate_text_detection(results)
+        stats["key_metric"] = stats.get("f1", 0.0)
+        return stats
+
+    trainer = Trainer(config, str(tmp_path), make_loss_fn=td.make_loss_fn)
+    trainer.evaluate = evaluate
+    trainer.eval_step = lambda *a, **k: None
+    best = trainer.run()
+    # calibrated CPU-mesh trajectory: F1 21 -> 38 -> 69 -> 87 over epochs
+    # 9-12, ~90 by epoch 14; chance level 0 (decoder finds no contours on
+    # an untrained prob map)
+    assert best >= 40.0, f"DBNet failed to learn: best F1 {best:.2f}"
