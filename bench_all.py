@@ -166,6 +166,43 @@ def bench_fcos_800(steps=30, batch=8, image=800):
     return out
 
 
+_SAM_FWD_FLOPS = {}
+
+
+def _sam_fwd_flops(variant, image):
+    """XLA-counted forward flops for one image through the NON-flash SAM.
+
+    Used as the MFU basis for every SAM leg (train flops ~= 3x fwd, the
+    same convention as bench.py's ResNet metric). The flash legs cannot use
+    their own cost analysis: both the online-softmax forward and the
+    round-5 blockwise backward run under ``lax.scan``, and XLA's
+    ``cost_analysis()`` counts a loop body ONCE regardless of trip count,
+    so the scan graphs under-report flops (~40% low at b4, worse at b8).
+    The einsum graph at b1 counts fully; flops scale linearly in batch.
+    """
+    key = (variant, image)
+    if key not in _SAM_FWD_FLOPS:
+        from simpleaicv_tpu.models.interactive_segmentation.sam import (
+            sam_b, sam_h)
+        build = sam_h if variant == "h" else sam_b
+        model = build(image_size=image, use_flash_attention=False)
+        rng_np = np.random.RandomState(0)
+        img = jnp.asarray(rng_np.randn(1, image, image, 3), jnp.bfloat16)
+        pts = jnp.asarray(
+            np.concatenate([rng_np.rand(1, 1, 2) * image,
+                            np.ones((1, 1, 1))], -1).astype(np.float32))
+        prompts = {"prompt_point": pts, "prompt_box": None,
+                   "prompt_mask": None}
+        variables = jax.jit(
+            lambda r: model.init({"params": r}, img, prompts)
+        )(jax.random.PRNGKey(0))
+        fwd = jax.jit(lambda v, im: model.apply(v, im, prompts,
+                                                mutable=False))
+        _SAM_FWD_FLOPS[key] = float(
+            fwd.lower(variables, img).compile().cost_analysis()["flops"])
+    return _SAM_FWD_FLOPS[key]
+
+
 def bench_sam_b_1024(steps=10, batch=1, image=1024, use_flash=False,
                      variant="b", remat=False):
     from simpleaicv_tpu.core.registry import LOSSES
@@ -194,11 +231,15 @@ def bench_sam_b_1024(steps=10, batch=1, image=1024, use_flash=False,
     state, step, rng = _build_step(
         model, LOSSES.create("SAMMultiLevelLoss"), make_loss_fn, data,
         (data["image"][:1], init_prompts))
-    sec_per_step, flops = _run_timed(step, state, data, rng, steps)
+    sec_per_step, _ = _run_timed(step, state, data, rng, steps)
     out = {"value": round(sec_per_step * 1000, 2), "unit": "ms/step",
            "batch": batch}
-    if flops:
+    try:  # analytic 3x-fwd basis; see _sam_fwd_flops for why not the
+        flops = 3.0 * batch * _sam_fwd_flops(variant, image)  # leg's own
         out["mfu"] = round(flops / sec_per_step / chip_peak_flops(), 4)
+        out["mfu_basis"] = "3x XLA fwd flops (einsum graph, scaled by batch)"
+    except Exception as e:
+        out["mfu_error"] = f"{type(e).__name__}: {e}"[:120]
     return out
 
 
@@ -656,14 +697,21 @@ if __name__ == "__main__":
     apply_platform_env()  # honour SIMPLEAICV_PLATFORM=cpu for offline smokes
     args = sys.argv[1:]
     save = "--save" in args
+    merge = "--merge" in args
     names = [a for a in args if not a.startswith("--")] or None
     out = run_portfolio(names)
     print(json.dumps(out, indent=1))
-    if save:
-        out["measured_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
-                                            time.gmtime())
+    if save or merge:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_PORTFOLIO.json")
+        if merge and os.path.exists(path):
+            # refresh only the legs just measured; keep the rest on record
+            with open(path) as f:
+                prev = json.load(f)
+            prev.update(out)
+            out = prev
+        out["measured_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"saved -> {path}")
